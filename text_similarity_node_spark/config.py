@@ -1,0 +1,161 @@
+"""Run configuration for the engine.
+
+Two dataclasses:
+
+* :class:`AlgorithmConfig` — mirrors the reference's per-call kernel config
+  (``/root/reference/src/core/types.hpp:47-61``): algorithm, preprocessing
+  mode, case sensitivity, ngram size plus the optional algorithm-specific
+  knobs (threshold, alpha/beta, prefix weight/length, max string length).
+* :class:`PipelineConfig` — the *frozen* whole-run configuration for the
+  distributed near-duplicate pipeline.  The reference mutates a global config
+  behind a shared mutex (``src/engine/similarity_engine.cpp:363-371``); in a
+  distributed engine a mutable global is a hazard, so one immutable config is
+  created per run, hashed (for lineage / resume keying), and broadcast to
+  executors by closure capture.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+from enum import Enum
+from typing import Optional
+
+DEFAULT_MAX_STRING_LENGTH = 100_000  # bytes, src/engine/similarity_engine.cpp:560-576
+
+
+class Algorithm(str, Enum):
+    """AlgorithmType 0-12, src/core/types.hpp:15-29."""
+
+    LEVENSHTEIN = "levenshtein"
+    DAMERAU_LEVENSHTEIN = "damerau_levenshtein"
+    HAMMING = "hamming"
+    JARO = "jaro"
+    JARO_WINKLER = "jaro_winkler"
+    JACCARD = "jaccard"
+    SORENSEN_DICE = "sorensen_dice"
+    OVERLAP = "overlap"
+    TVERSKY = "tversky"
+    COSINE = "cosine"
+    EUCLIDEAN = "euclidean"
+    MANHATTAN = "manhattan"
+    CHEBYSHEV = "chebyshev"
+
+
+# numeric ids match the reference enum order (src/core/types.hpp:15-29)
+ALGORITHM_IDS = {a: i for i, a in enumerate(Algorithm)}
+
+
+class Preprocessing(str, Enum):
+    """PreprocessingMode, src/core/types.hpp:31-36."""
+
+    NONE = "none"
+    CHARACTER = "character"
+    WORD = "word"
+    NGRAM = "ngram"
+
+
+@dataclass(frozen=True)
+class AlgorithmConfig:
+    """Kernel configuration (src/core/types.hpp:47-61 defaults)."""
+
+    algorithm: Algorithm = Algorithm.LEVENSHTEIN
+    preprocessing: Preprocessing = Preprocessing.CHARACTER
+    case_sensitive: bool = True
+    ngram_size: int = 2
+    threshold: Optional[float] = None  # Levenshtein early-exit / JW boost gate
+    alpha: Optional[float] = None  # Tversky
+    beta: Optional[float] = None  # Tversky
+    prefix_weight: Optional[float] = None  # Jaro-Winkler
+    prefix_length: Optional[int] = None  # Jaro-Winkler
+    max_string_length: int = DEFAULT_MAX_STRING_LENGTH
+
+    def validate(self) -> None:
+        """Mirror BaseAlgorithm::validate_configuration
+        (src/algorithms/base_algorithm.cpp:205-240)."""
+        if self.ngram_size <= 0:
+            raise ValueError("ngram_size must be >= 1")
+        if self.algorithm == Algorithm.TVERSKY:
+            if self.alpha is None or self.beta is None:
+                raise ValueError("Tversky algorithm requires alpha and beta parameters")
+            if self.alpha < 0.0 or self.beta < 0.0:
+                raise ValueError("Tversky alpha/beta must be >= 0")
+        if self.algorithm == Algorithm.JARO_WINKLER:
+            if self.prefix_weight is not None and not (0.0 <= self.prefix_weight <= 0.25):
+                raise ValueError("prefix_weight must be in [0, 0.25]")
+            if self.prefix_length is not None and self.prefix_length > 4:
+                raise ValueError("prefix_length must be <= 4")
+        if self.threshold is not None and self.threshold < 0.0:
+            raise ValueError("threshold must be >= 0")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Whole-run config for the near-duplicate pipeline.
+
+    ``shingle_mode``/``ngram_size``/``case_sensitive`` feed the reference
+    tokenizer semantics (SURVEY.md §2.2); the rest parameterize the scale
+    machinery the reference lacks.
+    """
+
+    # shingling (reference tokenizer semantics)
+    shingle_mode: Preprocessing = Preprocessing.NGRAM
+    ngram_size: int = 3
+    case_sensitive: bool = True
+
+    # MinHash / LSH
+    minhash_k: int = 128
+    lsh_bands: int = 32
+    lsh_rows: int = 4
+    minhash_seed: int = 42
+
+    # SimHash / Hamming banding
+    simhash_bits: int = 64
+    hamming_radius: int = 3
+
+    # verification
+    verify_algorithm: Algorithm = Algorithm.JACCARD
+    verify_threshold: float = 0.8
+
+    # skew handling
+    hot_band_threshold: int = 2_000  # rows sharing one (band, hash) key
+    salt_buckets: int = 16
+    band_cap: int = 50_000  # hard cap per band key; overflows logged, never silent
+
+    # substring/containment pass
+    substring_min_len: int = 32
+    substring_enabled: bool = True
+
+    # connected components
+    cc_max_iterations: int = 50
+    cc_checkpoint_every: int = 1
+
+    # execution
+    shuffle_partitions: int = 32
+
+    run_id: str = "run0"
+
+    def __post_init__(self) -> None:
+        if self.minhash_k != self.lsh_bands * self.lsh_rows:
+            raise ValueError(
+                f"minhash_k ({self.minhash_k}) must equal "
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash of everything that affects results (not run_id);
+        keys lineage + resume: a stage output is reusable iff its config
+        hash matches."""
+        payload = asdict(self)
+        payload.pop("run_id")
+        blob = json.dumps(payload, sort_keys=True, default=str).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def kernel_config(self) -> AlgorithmConfig:
+        return AlgorithmConfig(
+            algorithm=self.verify_algorithm,
+            preprocessing=self.shingle_mode,
+            case_sensitive=self.case_sensitive,
+            ngram_size=self.ngram_size,
+        )
