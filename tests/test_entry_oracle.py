@@ -1,0 +1,76 @@
+"""Driver-contract gate: every ``queries()`` entry vs its DuckDB oracle.
+
+Mimics what the round driver does for CORRECTNESS_r{N}.json: runs the Spark
+query and the oracle SQL at sf0.01, compares row count, column names, and an
+order-insensitive value digest (rows sorted, floats rounded)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _digest(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(_norm_cell(r[i]) for i in order) for r in rows)
+    return lines
+
+
+QUERIES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(name, spark, duck):
+    q = entrymod.queries()[name]
+    oracle = entrymod.oracle_sql().get(name)
+    sdf = q(spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if oracle is None:
+        assert len(srows) >= 0  # rows-only check (driver's weaker gate)
+        return
+    ddf = duck.sql(oracle)
+    drows = ddf.fetchall()
+    dcols = ddf.columns
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sd = _digest(scols, [tuple(r) for r in srows])
+    dd = _digest(dcols, drows)
+    mism = [i for i, (a, b) in enumerate(zip(sd, dd)) if a != b]
+    assert not mism, (
+        f"{name}: {len(mism)} value mismatches; first: "
+        f"spark={sd[mism[0]]!r} duck={dd[mism[0]]!r}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
