@@ -469,6 +469,218 @@ ORDER BY hour, event_type
 """
 
 
+def q12_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler verification kernel (reference #4) through the
+    Arrow-batched pandas UDF — parity-checked against DuckDB's independent
+    implementation (boost threshold 0.7, prefix<=4, p=0.1 semantics agree
+    with the reference, phonetic.cpp:172-229)."""
+    from text_similarity_node_spark.config import Algorithm, AlgorithmConfig
+    from text_similarity_node_spark.functions.spark_udfs import similarity_udf
+
+    jw = similarity_udf(AlgorithmConfig(algorithm=Algorithm.JARO_WINKLER))
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.doc_id") % 7 == 0)
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+            F.round(jw(F.col("a.text"), F.col("b.text")), 6).alias("jw_sim"),
+        )
+        .filter(F.col("jw_sim") >= 0.8)
+    )
+
+
+_Q12_SQL = """
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       round(jaro_winkler_similarity(a.text, b.text), 6) AS jw_sim
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND a.doc_id % 7 = 0 AND abs(a.n_chars - b.n_chars) <= 10
+WHERE jaro_winkler_similarity(a.text, b.text) >= 0.8
+"""
+
+
+def q13_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact prefix-filter set-similarity join (operators/simjoin.py) —
+    recall 1.0 by construction, so the brute-force SQL oracle must match
+    exactly.  This is the deterministic complement to MinHash LSH."""
+    from text_similarity_node_spark.operators.simjoin import prefix_filter_jaccard_join
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", C.word_tokens(F.col("text")).alias("toks")
+    )
+    out = prefix_filter_jaccard_join(docs, "doc_id", "toks", threshold=0.92)
+    return out.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_Q13_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '\w+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       round(len(list_intersect(a.toks, b.toks))::DOUBLE
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))),
+             6) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(a.toks) > 0 AND len(b.toks) > 0
+  AND len(list_intersect(a.toks, b.toks))::DOUBLE
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.92
+"""
+
+
+def q14_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (operators/components.py) over the exact-dup
+    edge graph of the derived corpus.  Components of a same-text graph are
+    exactly the text-equality groups, giving a pure-SQL oracle for the
+    iterative min-label propagation."""
+    from text_similarity_node_spark.operators.components import connected_components
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+    return connected_components(edges).select(
+        F.col("clip_id").alias("doc_id"), F.col("cluster_id").alias("cluster_id")
+    )
+
+
+_Q14_SQL = f"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+groups AS (
+  SELECT text, min(doc_id) AS cluster_id, count(*) AS n
+  FROM corpus GROUP BY text HAVING count(*) >= 2
+)
+SELECT c.doc_id AS doc_id, g.cluster_id AS cluster_id
+FROM corpus c JOIN groups g ON c.text = g.text
+"""
+
+
+def q15_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (operators/text_analysis.py): marker-word
+    argmax with fixed priority tie-break."""
+    from text_similarity_node_spark.operators.text_analysis import predict_lang
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = C.word_tokens(F.col("text"))
+    return (
+        docs.select("doc_id", predict_lang(toks).alias("pred_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def _q15_sql() -> str:
+    from text_similarity_node_spark.operators.text_analysis import langid_sql_case
+
+    return (
+        f"SELECT doc_id, {langid_sql_case('text')} AS pred_lang "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate generation + exact multiset-Jaccard verify
+    (the pipeline's probabilistic scale path).  No SQL oracle — candidate
+    membership is probabilistic; recall vs brute force is asserted in
+    tests/test_pipeline.py (>= 0.99)."""
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators import lsh, minhash
+
+    cfg = PipelineConfig(hot_band_threshold=500, salt_buckets=8)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", C.char_ngrams(F.col("text"), cfg.ngram_size).alias("tokens")
+    )
+    sig = minhash.with_minhash(docs, "tokens", cfg)
+    bands = minhash.explode_bands(sig, "doc_id", "minhash", cfg)
+    pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col="doc_id")
+    grams = _load(spark, sf_dir, "documents").select(
+        "doc_id", C.token_count_map(C.char_ngrams(F.col("text"), cfg.ngram_size)).alias("g")
+    )
+    g1 = grams.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1"))
+    g2 = grams.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2"))
+    return (
+        pairs.join(g1, "id1").join(g2, "id2")
+        .withColumn("jaccard", F.round(C.multiset_jaccard(F.col("g1"), F.col("g2")), 6))
+        .filter(F.col("jaccard") >= 0.55)
+        .select(
+            F.col("id1").alias("doc_id1"),
+            F.col("id2").alias("doc_id2"),
+            "jaccard",
+        )
+    )
+
+
+def q17_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketches + pigeonhole Hamming banding (reference cosine
+    semantics at scale).  No SQL oracle (custom sketch); rows-only check
+    plus pytest property coverage."""
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators import simhash
+
+    cfg = PipelineConfig(hamming_radius=7)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", C.char_ngrams(F.col("text"), 3).alias("tokens")
+    )
+    sk = simhash.with_simhash(docs, "tokens")
+    return simhash.simhash_candidates(
+        sk.select("doc_id", "simhash"), cfg, id_col="doc_id"
+    ).select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        F.col("hamming"),
+    )
+
+
+def q18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed substring/containment candidates (operators/suffix.py) over
+    the derived corpus (planted prefix-dropped copies are true
+    containments), verified by actual substring overlap length.  No SQL
+    oracle (rolling-hash winnowing); pytest covers the guarantee."""
+    from text_similarity_node_spark.operators.suffix import containment_candidates
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    cands = containment_candidates(
+        corpus, "doc_id", "text", min_len=32, window=16
+    )
+    t1 = corpus.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
+    t2 = corpus.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
+    return (
+        cands.join(t1, "id1").join(t2, "id2")
+        .withColumn(
+            "contained",
+            (F.instr(F.col("t1"), F.col("t2")) > 0) | (F.instr(F.col("t2"), F.col("t1")) > 0),
+        )
+        .filter(F.col("contained"))
+        .select(F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2"))
+    )
+
+
+def q19_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine ANN (operators/ann.py scale path) with
+    multiprobe.  No SQL oracle (bucketing is model-defined); its recall vs
+    the exact q10 baseline is measured in tests/test_ann.py."""
+    from text_similarity_node_spark.operators.ann import cosine_topk_lsh
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, queries, dim=64, k=5, n_bits=6).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -492,6 +704,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_priority_revenue": q09_priority_revenue,
         "q10_embedding_cosine_topk": q10_embedding_cosine_topk,
         "q11_events_hourly": q11_events_hourly,
+        "q12_jaro_winkler_pairs": q12_jaro_winkler_pairs,
+        "q13_prefix_jaccard_join": q13_prefix_jaccard_join,
+        "q14_connected_components": q14_connected_components,
+        "q15_langid": q15_langid,
+        "q16_minhash_lsh_pairs": q16_minhash_lsh_pairs,
+        "q17_simhash_hamming_pairs": q17_simhash_hamming_pairs,
+        "q18_containment_pairs": q18_containment_pairs,
+        "q19_ann_lsh": q19_ann_lsh,
     }
 
 
@@ -508,4 +728,12 @@ def oracle_sql() -> dict[str, str]:
         "q09_priority_revenue": _Q09_SQL,
         "q10_embedding_cosine_topk": _Q10_SQL,
         "q11_events_hourly": _Q11_SQL,
+        "q12_jaro_winkler_pairs": _Q12_SQL,
+        "q13_prefix_jaccard_join": _Q13_SQL,
+        "q14_connected_components": _Q14_SQL,
+        "q15_langid": _q15_sql(),
+        # q16-q19 intentionally have no oracle: probabilistic candidate
+        # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
+        # SQL-expressible; the driver records rows-only checks and pytest
+        # covers recall/exactness (test_pipeline.py, test_ann.py).
     }

@@ -1,0 +1,187 @@
+"""Benchmark harness.
+
+Default mode: runs the headline queries + the full near-dup pipeline at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "e2e_seconds", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "clips_per_sec": ...}
+
+``--scaling`` mode: runs the identical pipeline job at two parallelism
+levels (N=8 and 4N=32 cores by default — the sandbox stand-in for N vs 4N
+executor clusters per the driver instruction), reports throughput at both
+plus efficiency = (T_N / T_4N) / 4, and writes BENCH/BASELINE.md.
+
+The pipeline input is a clips table derived deterministically from the
+documents table (every doc a clip; planted duplicate clusters via exact
+copies, prefix-dropped copies, and case-flipped copies) — no external data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def derived_clips(spark, sf_dir):
+    """documents -> clips(clip_id, transcript) with planted dup clusters."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.format_string("clip_%09d", F.col("doc_id")).alias("clip_id"),
+        F.col("text").alias("transcript"),
+        F.col("doc_id"),
+    )
+    exact = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.format_string("clip_e%08d", F.col("doc_id")).alias("clip_id"),
+        F.col("transcript"),
+        F.col("doc_id"),
+    )
+    prefix = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.format_string("clip_p%08d", F.col("doc_id")).alias("clip_id"),
+        F.expr("substring(transcript, 9)").alias("transcript"),
+        F.col("doc_id"),
+    )
+    upper = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.format_string("clip_u%08d", F.col("doc_id")).alias("clip_id"),
+        F.concat(F.upper(F.expr("substring(transcript, 1, 6)")),
+                 F.expr("substring(transcript, 7)")).alias("transcript"),
+        F.col("doc_id"),
+    )
+    return (
+        docs.unionByName(exact).unionByName(prefix).unionByName(upper)
+        .select("clip_id", "transcript")
+    )
+
+
+def run_pipeline(spark, sf_dir, shuffle_partitions):
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.plans.pipeline import NearDupPipeline
+
+    clips = derived_clips(spark, sf_dir)
+    n_clips = clips.count()
+    cfg = PipelineConfig(
+        verify_threshold=0.8,
+        hot_band_threshold=500,
+        salt_buckets=8,
+        shuffle_partitions=shuffle_partitions,
+        run_id=f"bench_{shuffle_partitions}",
+    )
+    wh = tempfile.mkdtemp(prefix="tsn_bench_wh_")
+    try:
+        t0 = time.time()
+        res = NearDupPipeline(spark, cfg, wh).run(clips)
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        elapsed = time.time() - t0
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    return elapsed, n_clips, n_clusters
+
+
+def bench_default():
+    from text_similarity_node_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="tsn-bench", cores=CPUS, shuffle_partitions=CPUS)
+    queries = {}
+    picks = [
+        "q01_pricing_summary",
+        "q02_levenshtein_pairs",
+        "q04_ngram_jaccard_pairs",
+        "q05_exact_dedup",
+        "q08_fingerprint",
+        "q10_embedding_cosine_topk",
+    ]
+    qmap = entry.queries()
+    for name in picks:
+        t0 = time.time()
+        qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pipe_s, n_clips, n_clusters = run_pipeline(spark, SF_DIR, CPUS)
+    queries["neardup_pipeline"] = round(pipe_s, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "e2e_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "clips": n_clips,
+        "clips_per_sec": round(n_clips / pipe_s, 1),
+        "n_clusters": n_clusters,
+        "cores": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return out
+
+
+def bench_scaling(n_small=8, n_large=32):
+    """Same job, same input, two parallelism levels -> scaling efficiency."""
+    from text_similarity_node_spark.session import get_spark
+
+    results = {}
+    for cores in (n_small, n_large):
+        spark = get_spark(
+            app_name=f"tsn-scale-{cores}", cores=cores, shuffle_partitions=cores
+        )
+        # warm-up pass absorbs JVM/Arrow init so the measured pass is steady-state
+        run_pipeline(spark, SF_DIR, cores)
+        elapsed, n_clips, _ = run_pipeline(spark, SF_DIR, cores)
+        results[cores] = {
+            "seconds": round(elapsed, 2),
+            "clips": n_clips,
+            "clips_per_sec": round(n_clips / elapsed, 1),
+        }
+        spark.stop()
+
+    thr_small = results[n_small]["clips_per_sec"]
+    thr_large = results[n_large]["clips_per_sec"]
+    ratio = n_large / n_small
+    efficiency = round((thr_large / thr_small) / ratio, 3)
+    out = {
+        "metric": "scaling_efficiency",
+        "value": efficiency,
+        "unit": "ratio",
+        "n_cores": n_small,
+        "4n_cores": n_large,
+        "throughput_n": thr_small,
+        "throughput_4n": thr_large,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+    }
+    print(json.dumps(out))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — measured scaling (sandbox stand-in for N vs 4N executors)\n\n"
+            f"Input: derived clips table from `{SF_DIR}/documents.parquet` "
+            "(documents + planted duplicate clusters), identical at both levels.\n"
+            "Job: full near-dup pipeline (shingle -> minhash -> LSH salted join ->\n"
+            "simhash -> containment -> exact verify -> connected components).\n\n"
+            "| parallelism | wall s | clips/sec |\n|---|---|---|\n"
+            f"| local[{n_small}] (N) | {results[n_small]['seconds']} | {thr_small} |\n"
+            f"| local[{n_large}] (4N) | {results[n_large]['seconds']} | {thr_large} |\n\n"
+            f"**Scaling efficiency (throughput@4N / throughput@N) / 4 = {efficiency}**"
+            f" (target >= 0.8 per BASELINE.json; measured on the same input with "
+            f"shuffle partitions scaled to core count).\n"
+        )
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        bench_scaling()
+    else:
+        bench_default()

@@ -1,0 +1,69 @@
+"""ANN operators: brute-force baseline exactness + LSH recall measurement."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from text_similarity_node_spark.operators.ann import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_bruteforce_matches_numpy(spark, emb):
+    pdf = emb.toPandas()
+    vecs = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = cosine_topk_bruteforce(emb, queries, k=4).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    for qid in range(3):
+        qi = int(np.where(ids == qid)[0][0])
+        sims = (vecs @ vecs[qi]) / (norms * norms[qi])
+        sims_r = np.round(sims, 6)
+        order = sorted(
+            [(i, s) for i, s in zip(ids, sims_r) if i != qid],
+            key=lambda t: (-t[1], t[0]),
+        )[:4]
+        expected = [(int(i), float(s)) for i, s in order]
+        actual = sorted(
+            [(r.vec_id, r.cos_sim) for r in got if r.query_id == qid],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert actual == expected
+
+
+def test_lsh_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_lsh(emb, queries, dim=64, k=5, n_bits=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 8 tables x 6 bits + multiprobe measured at 0.86 on this data
+    assert recall >= 0.7, f"LSH ANN recall {recall:.2f} unexpectedly low"
+
+
+def test_lsh_results_are_true_neighbors(spark, emb):
+    """Every LSH hit is a real (correctly scored) neighbor — approximation
+    affects which candidates are seen, never the scores."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_scores = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in cosine_topk_bruteforce(emb, queries, k=500).collect()
+    }
+    for r in cosine_topk_lsh(emb, queries, dim=64, k=5, n_bits=6).collect():
+        assert exact_scores[(r.query_id, r.vec_id)] == r.cos_sim

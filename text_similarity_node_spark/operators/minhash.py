@@ -78,12 +78,14 @@ def band_hashes(sig_col: Column, bands: int, rows: int) -> Column:
     """signature -> array of (band_id, band_hash) structs, JVM-side:
     slice + xxhash64 per band; exploded by the caller.  Empty-set sentinel
     signatures (slot0 == -1) produce no bands."""
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda i: F.struct(
-            i.cast("int").alias("band_id"),
-            F.xxhash64(F.slice(sig_col, i * rows + 1, rows)).alias("band_hash"),
-        ),
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("band_id"),
+                F.xxhash64(F.slice(sig_col, i * rows + 1, rows)).alias("band_hash"),
+            )
+            for i in range(bands)
+        ]
     )
     return F.when(
         F.element_at(sig_col, 1) == -1, F.array().cast(

@@ -54,14 +54,16 @@ def hamming_blocks(sim_col: Column, radius: int) -> Column:
     (pigeonhole: a pair with <= radius differing bits agrees on >= 1 block)."""
     nblocks = radius + 1
     width = 64 // nblocks
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(nblocks - 1)),
-        lambda i: F.struct(
-            i.cast("int").alias("block_id"),
-            F.shiftrightunsigned(sim_col, i * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            ).alias("block_value"),
-        ),
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("block_id"),
+                F.shiftrightunsigned(sim_col, i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("block_value"),
+            )
+            for i in range(nblocks)
+        ]
     )
 
 

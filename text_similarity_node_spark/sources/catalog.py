@@ -1,0 +1,64 @@
+"""Checkpoint catalog: durable stage outputs keyed by (table, config_hash).
+
+The north rule requires every stage to be resumable from checkpoint with
+per-partition lineage and metrics written to the table store.  On a real
+cluster this is an Iceberg catalog (``session.get_spark`` wires it when the
+runtime jars are present); in this sandbox the same API is backed by a
+Parquet warehouse directory.  The resume contract is identical either way:
+
+    stage output exists for this config_hash  ->  stage is skipped
+    (read back instead of recomputed)
+
+Writes go to a temporary location then atomically rename — a killed run
+never leaves a half-written table that a resume would trust (the Iceberg
+backend gets this from snapshot commits; the Parquet backend emulates it
+with dir rename).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetCatalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _path(self, table: str, config_hash: str) -> str:
+        return os.path.join(self.warehouse, f"{table}__{config_hash}")
+
+    def exists(self, table: str, config_hash: str) -> bool:
+        p = self._path(table, config_hash)
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def read(self, table: str, config_hash: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table, config_hash))
+
+    def write(self, df: DataFrame, table: str, config_hash: str) -> DataFrame:
+        """Atomic write-then-rename; returns the re-read DataFrame (reading
+        back cuts lineage — the durable analogue of localCheckpoint)."""
+        final = self._path(table, config_hash)
+        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return self.spark.read.parquet(final)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        """Append-only sink (metrics / lineage ledgers)."""
+        df.write.mode("append").parquet(os.path.join(self.warehouse, table))
+
+    def read_ledger(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.warehouse, table))
+
+    def drop(self, table: str, config_hash: str) -> None:
+        p = self._path(table, config_hash)
+        if os.path.exists(p):
+            shutil.rmtree(p)
