@@ -113,21 +113,25 @@ def q02_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
     a = docs.alias("a")
     b = docs.alias("b")
+    lev_sim = F.round(
+        C.levenshtein_similarity(F.col("a.text"), F.col("b.text")), 6
+    )
+    # The similarity predicate is placed LAST in the join condition on
+    # purpose: codegen evaluates conjuncts left-to-right, so the cheap
+    # id/length prunes short-circuit before the O(len^2) DP runs.  (Left as
+    # a post-join .filter, Catalyst pushes it into the condition *ahead* of
+    # the cheap conjuncts — measured 56s vs 3s at sf0.01.)
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5),
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5)
+        & (lev_sim >= 0.35),
     )
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_id1"),
-            F.col("b.doc_id").alias("doc_id2"),
-            F.round(
-                C.levenshtein_similarity(F.col("a.text"), F.col("b.text")), 6
-            ).alias("lev_sim"),
-        )
-        .filter(F.col("lev_sim") >= 0.35)
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_id1"),
+        F.col("b.doc_id").alias("doc_id2"),
+        lev_sim.alias("lev_sim"),
     )
 
 
@@ -182,31 +186,48 @@ WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
 
 def q04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset character-trigram Jaccard (reference kernel #5 NGRAM mode —
-    the pipeline's verify metric) as a similarity join over count-maps.
-    All JVM-side: shingle -> count map once per doc, map_zip_with per pair."""
+    the pipeline's verify metric) as an **inverted-index similarity join**:
+    explode shingle counts, equi-join on the shingle, aggregate
+    sum(min(count)) per pair — the canonical distributed shape (one shuffle
+    on the shingle key, partial aggregation map-side).  The per-pair
+    map_zip_with formulation measured 62s at sf0.01 (interpreted complex-
+    type expressions per probe); this shape runs in seconds and is the one
+    that scales: at 10^12 rows you first LSH (q16), then verify with
+    exactly this plan over candidates."""
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         "n_chars",
-        C.token_count_map(C.char_ngrams(F.col("text"), 3)).alias("grams"),
+        F.explode(C.char_ngrams(F.col("text"), 3)).alias("g"),
         F.greatest(F.length("text") - 2, F.lit(1)).alias("total"),
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
+    flat = docs.groupBy("doc_id", "lang", "n_chars", "total", "g").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    return (
-        pairs.select(
+    a, b = flat.alias("a"), flat.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
+        )
+        .groupBy(
             F.col("a.doc_id").alias("doc_id1"),
             F.col("b.doc_id").alias("doc_id2"),
-            F.round(C.multiset_jaccard(F.col("a.grams"), F.col("b.grams")), 6).alias(
-                "ngram_jaccard"
-            ),
         )
+        .agg(
+            F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("isz"),
+            F.first(F.col("a.total")).alias("t1"),
+            F.first(F.col("b.total")).alias("t2"),
+        )
+    )
+    jac = F.round(F.col("isz").cast("double") / (F.col("t1") + F.col("t2") - F.col("isz")), 6)
+    return (
+        inter.withColumn("ngram_jaccard", jac)
         .filter(F.col("ngram_jaccard") >= 0.55)
+        .select("doc_id1", "doc_id2", "ngram_jaccard")
     )
 
 
@@ -603,23 +624,18 @@ def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", C.char_ngrams(F.col("text"), cfg.ngram_size).alias("tokens")
     )
+    from text_similarity_node_spark.operators.verify import (
+        verify_pairs_multiset_jaccard,
+    )
+
     sig = minhash.with_minhash(docs, "tokens", cfg)
     bands = minhash.explode_bands(sig, "doc_id", "minhash", cfg)
     pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col="doc_id")
-    grams = _load(spark, sf_dir, "documents").select(
-        "doc_id", C.token_count_map(C.char_ngrams(F.col("text"), cfg.ngram_size)).alias("g")
-    )
-    g1 = grams.select(F.col("doc_id").alias("id1"), F.col("g").alias("g1"))
-    g2 = grams.select(F.col("doc_id").alias("id2"), F.col("g").alias("g2"))
-    return (
-        pairs.join(g1, "id1").join(g2, "id2")
-        .withColumn("jaccard", F.round(C.multiset_jaccard(F.col("g1"), F.col("g2")), 6))
-        .filter(F.col("jaccard") >= 0.55)
-        .select(
-            F.col("id1").alias("doc_id1"),
-            F.col("id2").alias("doc_id2"),
-            "jaccard",
-        )
+    verified = verify_pairs_multiset_jaccard(pairs, docs, "doc_id", "tokens", 0.55)
+    return verified.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
 from ..functions import columns as C
-from ..operators import lsh, minhash
+from ..operators import lsh, minhash, verify
 from ..operators.components import connected_components
 
 
@@ -48,15 +48,9 @@ def neardup_dedup(
     sig = minhash.with_minhash(docs, "tokens", cfg)
     bands = minhash.explode_bands(sig, "rid", "minhash", cfg)
     pairs, _ = lsh.candidate_pairs(bands, cfg, id_col="rid")
-    grams = docs.select("rid", C.token_count_map(F.col("tokens")).alias("g"))
-    g1 = grams.select(F.col("rid").alias("id1"), F.col("g").alias("g1"))
-    g2 = grams.select(F.col("rid").alias("id2"), F.col("g").alias("g2"))
-    verified = (
-        pairs.join(g1, "id1").join(g2, "id2")
-        .withColumn("jaccard", C.multiset_jaccard(F.col("g1"), F.col("g2")))
-        .filter(F.col("jaccard") >= cfg.verify_threshold)
-        .select("id1", "id2")
-    )
+    verified = verify.verify_pairs_multiset_jaccard(
+        pairs, docs, "rid", "tokens", cfg.verify_threshold
+    ).select("id1", "id2")
     comp = connected_components(verified, max_iterations=cfg.cc_max_iterations)
     return (
         df.join(comp, df[id_col] == comp.clip_id, "left")

@@ -39,6 +39,10 @@ def candidate_pairs(
     disposition in {cold, salted, dropped} — the no-silent-caps ledger."""
     key = ["band_id", "band_hash"]
 
+    # bands is consumed by two branches (counts aggregate + tagged join);
+    # without persisting, the upstream signature UDF would run twice —
+    # measured 5x wall-clock on the LSH query before this cache.
+    bands = bands.persist()
     counts = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("n_rows"))
     counts = counts.withColumn(
         "disposition",

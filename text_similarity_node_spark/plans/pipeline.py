@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..config import PipelineConfig, Preprocessing
 from ..functions import columns as C
-from ..operators import lsh, minhash, simhash, suffix
+from ..operators import lsh, minhash, simhash, suffix, verify
 from ..operators.components import connected_components
 from ..sources.catalog import ParquetCatalog
 
@@ -178,29 +178,15 @@ class NearDupPipeline:
             cand = (
                 lsh_pairs.unionByName(sim_pairs).unionByName(sub_pairs)
                 .groupBy("id1", "id2")
-                .agg(F.collect_set("source").alias("sources"))
+                .agg(F.array_join(F.collect_set("source"), ",").alias("sources"))
             )
             docs = clips.select(
-                "clip_id",
-                C.token_count_map(_tokens_col(cfg)).alias("grams"),
+                "clip_id", _tokens_col(cfg).alias("tokens")
             )
-            d1 = docs.select(
-                F.col("clip_id").alias("id1"), F.col("grams").alias("g1")
+            passed = verify.verify_pairs_multiset_jaccard(
+                cand, docs, "clip_id", "tokens", cfg.verify_threshold
             )
-            d2 = docs.select(
-                F.col("clip_id").alias("id2"), F.col("grams").alias("g2")
-            )
-            cand = cand.repartition(cfg.shuffle_partitions, "id1")
-            verified = (
-                cand.join(d1, "id1")
-                .join(d2, "id2")
-                .withColumn("jaccard", C.multiset_jaccard(F.col("g1"), F.col("g2")))
-                .select(
-                    "id1", "id2", "jaccard",
-                    F.array_join("sources", ",").alias("sources"),
-                )
-            )
-            return verified.filter(F.col("jaccard") >= cfg.verify_threshold)
+            return passed.join(cand.select("id1", "id2", "sources"), ["id1", "id2"])
 
         verified = self._stage("verified_pairs", build_verified)
 
