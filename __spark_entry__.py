@@ -697,6 +697,218 @@ def q19_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gram_pair_stats(spark: SparkSession, sf_dir: str, len_band: int):
+    """Shared inverted-index pair stats over char trigrams: per same-lang
+    pair within the length band, (isz, dot, t1, t2, ssq1, ssq2).  One
+    shuffle on the gram key; every multiset measure derives from these."""
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.explode(C.char_ngrams(F.col("text"), 3)).alias("g"),
+        F.greatest(F.length("text") - 2, F.lit(1)).alias("total"),
+    )
+    gc = docs.groupBy("doc_id", "lang", "n_chars", "total", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ssq = gc.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("ssq"))
+    gc = gc.join(ssq, "doc_id")
+    a, b = gc.alias("a"), gc.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= len_band),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .agg(
+            F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("isz"),
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.first(F.col("a.total")).alias("t1"),
+            F.first(F.col("b.total")).alias("t2"),
+            F.first(F.col("a.ssq")).alias("ssq1"),
+            F.first(F.col("b.ssq")).alias("ssq2"),
+        )
+    )
+
+
+_GRAM_PAIR_STATS_SQL = """
+WITH grams AS (
+  SELECT doc_id, substring(text, i, 3) AS g, count(*) AS c
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i)
+  GROUP BY doc_id, substring(text, i, 3)
+),
+meta AS (
+  SELECT doc_id, lang, n_chars, greatest(length(text) - 2, 1) AS total
+  FROM documents
+),
+ssq AS (SELECT doc_id, sum(c * c) AS ssq FROM grams GROUP BY doc_id),
+stats AS (
+  SELECT g1.doc_id AS doc_id1, g2.doc_id AS doc_id2,
+         sum(least(g1.c, g2.c)) AS isz,
+         sum(g1.c * g2.c) AS dot
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+)
+SELECT s.doc_id1, s.doc_id2, s.isz, s.dot,
+       m1.total AS t1, m2.total AS t2, q1.ssq AS ssq1, q2.ssq AS ssq2
+FROM stats s
+JOIN meta m1 ON m1.doc_id = s.doc_id1
+JOIN meta m2 ON m2.doc_id = s.doc_id2
+JOIN ssq q1 ON q1.doc_id = s.doc_id1
+JOIN ssq q2 ON q2.doc_id = s.doc_id2
+WHERE m1.lang = m2.lang AND abs(m1.n_chars - m2.n_chars) <= {band}
+"""
+
+
+def q20_multiset_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dice / Overlap / Tversky(0.5,0.5) / Jaccard (reference kernels
+    #5-#8, multiset NGRAM semantics) in one pass from shared inverted-index
+    pair stats."""
+    s = _gram_pair_stats(spark, sf_dir, len_band=40)
+    isz = F.col("isz").cast("double")
+    t1, t2 = F.col("t1").cast("double"), F.col("t2").cast("double")
+    return (
+        s.select(
+            "doc_id1",
+            "doc_id2",
+            F.round(isz / (t1 + t2 - isz), 6).alias("jaccard"),
+            F.round(2 * isz / (t1 + t2), 6).alias("dice"),
+            F.round(isz / F.least(t1, t2), 6).alias("overlap"),
+            F.round(
+                isz / (isz + 0.5 * (t1 - isz) + 0.5 * (t2 - isz)), 6
+            ).alias("tversky"),
+        )
+        .filter(F.col("dice") >= 0.7)
+    )
+
+
+_Q20_SQL = (
+    "WITH pair_stats AS ("
+    + _GRAM_PAIR_STATS_SQL.format(band=40)
+    + """)
+SELECT doc_id1, doc_id2,
+       round(isz::DOUBLE / (t1 + t2 - isz), 6) AS jaccard,
+       round(2.0 * isz / (t1 + t2), 6) AS dice,
+       round(isz::DOUBLE / least(t1, t2), 6) AS overlap,
+       round(isz::DOUBLE / (isz + 0.5 * (t1 - isz) + 0.5 * (t2 - isz)), 6) AS tversky
+FROM pair_stats
+WHERE 2.0 * isz / (t1 + t2) >= 0.7
+"""
+)
+
+
+def q21_lnorm_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean/Manhattan token-frequency distances (reference kernels
+    #10/#11) with the reference's x1000 integer channel and similarity
+    transforms (sim computed FROM the quantized distance,
+    vector_based.cpp:260-387).  Uses the multiset identities
+    L2^2 = ssq1 + ssq2 - 2*dot and L1 = t1 + t2 - 2*sum(min)."""
+    s = _gram_pair_stats(spark, sf_dir, len_band=30)
+    l2 = F.sqrt((F.col("ssq1") + F.col("ssq2") - 2 * F.col("dot")).cast("double"))
+    l1 = (F.col("t1") + F.col("t2") - 2 * F.col("isz")).cast("double")
+    eucl_i = F.floor(l2 * 1000 + F.lit(0.5)).cast("long")
+    manh_i = F.floor(l1 * 1000 + F.lit(0.5)).cast("long")
+    return (
+        s.select(
+            "doc_id1",
+            "doc_id2",
+            eucl_i.alias("eucl_dist_x1000"),
+            manh_i.alias("manh_dist_x1000"),
+            F.round(F.exp(-(eucl_i.cast("double") / 1000.0)), 6).alias("eucl_sim"),
+            F.round(1.0 / (1.0 + manh_i.cast("double") / 1000.0), 6).alias("manh_sim"),
+        )
+        .filter(F.col("manh_dist_x1000") <= 60_000)
+    )
+
+
+_Q21_SQL = (
+    "WITH pair_stats AS ("
+    + _GRAM_PAIR_STATS_SQL.format(band=30)
+    + """)
+SELECT doc_id1, doc_id2,
+       floor(sqrt((ssq1 + ssq2 - 2 * dot)::DOUBLE) * 1000 + 0.5)::BIGINT AS eucl_dist_x1000,
+       floor((t1 + t2 - 2 * isz)::DOUBLE * 1000 + 0.5)::BIGINT AS manh_dist_x1000,
+       round(exp(-(floor(sqrt((ssq1 + ssq2 - 2 * dot)::DOUBLE) * 1000 + 0.5) / 1000.0)), 6) AS eucl_sim,
+       round(1.0 / (1.0 + floor((t1 + t2 - 2 * isz)::DOUBLE * 1000 + 0.5) / 1000.0), 6) AS manh_sim
+FROM pair_stats
+WHERE floor((t1 + t2 - 2 * isz)::DOUBLE * 1000 + 0.5)::BIGINT <= 60000
+"""
+)
+
+
+def q22_hamming_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming distance (reference kernel #2: positional mismatches,
+    equal-length contract) over fixed 40-char prefixes of same-lang pairs."""
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 40)
+        .select("doc_id", "lang", F.expr("substring(text, 1, 40)").alias("p"))
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    ham = C.hamming_distance_equal_len(F.col("a.p"), F.col("b.p"))
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.doc_id") % 5 == 0)
+        & (ham <= 20),
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_id1"),
+        F.col("b.doc_id").alias("doc_id2"),
+        ham.alias("hamming"),
+        F.round(1.0 - ham.cast("double") / 40.0, 6).alias("hamming_sim"),
+    )
+
+
+_Q22_SQL = """
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       hamming(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS hamming,
+       round(1.0 - hamming(substring(a.text, 1, 40), substring(b.text, 1, 40)) / 40.0,
+             6) AS hamming_sim
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.doc_id % 5 = 0
+WHERE length(a.text) >= 40 AND length(b.text) >= 40
+  AND hamming(substring(a.text, 1, 40), substring(b.text, 1, 40)) <= 20
+"""
+
+
+def q23_damerau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damerau-Levenshtein (OSA) verification kernel (reference #1) through
+    the Arrow-batched pandas UDF.  No SQL oracle: DuckDB's
+    damerau_levenshtein is the *unrestricted* variant (CA/ABC = 2) while
+    the reference computes OSA (= 3, levenshtein.cpp:365-421); parity is
+    covered by pytest goldens instead."""
+    from text_similarity_node_spark.config import Algorithm, AlgorithmConfig
+    from text_similarity_node_spark.functions.spark_udfs import similarity_udf
+
+    dl = similarity_udf(AlgorithmConfig(algorithm=Algorithm.DAMERAU_LEVENSHTEIN))
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.doc_id") % 11 == 0)
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+            F.round(dl(F.col("a.text"), F.col("b.text")), 6).alias("dl_sim"),
+        )
+        .filter(F.col("dl_sim") >= 0.35)
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -728,6 +940,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_simhash_hamming_pairs": q17_simhash_hamming_pairs,
         "q18_containment_pairs": q18_containment_pairs,
         "q19_ann_lsh": q19_ann_lsh,
+        "q20_multiset_measures": q20_multiset_measures,
+        "q21_lnorm_distances": q21_lnorm_distances,
+        "q22_hamming_prefix": q22_hamming_prefix,
+        "q23_damerau_pairs": q23_damerau_pairs,
     }
 
 
@@ -748,6 +964,9 @@ def oracle_sql() -> dict[str, str]:
         "q13_prefix_jaccard_join": _Q13_SQL,
         "q14_connected_components": _Q14_SQL,
         "q15_langid": _q15_sql(),
+        "q20_multiset_measures": _Q20_SQL,
+        "q21_lnorm_distances": _Q21_SQL,
+        "q22_hamming_prefix": _Q22_SQL,
         # q16-q19 intentionally have no oracle: probabilistic candidate
         # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks and pytest

@@ -92,13 +92,17 @@ def bench_default():
 
     spark = get_spark(app_name="tsn-bench", cores=CPUS, shuffle_partitions=CPUS)
     queries = {}
+    # q04 (bare inverted-index join) is deliberately absent: with this
+    # corpus's tiny vocabulary its hot-gram posting pairs grow
+    # quadratically — at sf>=0.1 the correct near-dup plan is the LSH
+    # candidate path (q16) or the full pipeline, both benched here.
     picks = [
         "q01_pricing_summary",
         "q02_levenshtein_pairs",
-        "q04_ngram_jaccard_pairs",
         "q05_exact_dedup",
         "q08_fingerprint",
         "q10_embedding_cosine_topk",
+        "q16_minhash_lsh_pairs",
     ]
     qmap = entry.queries()
     for name in picks:

@@ -56,6 +56,36 @@ def brute_force_pairs(clips_pdf):
     return out
 
 
+def _co_clustered_pairs(clusters: dict) -> set:
+    by_cluster: dict = {}
+    for cid, cluster in clusters.items():
+        by_cluster.setdefault(cluster, []).append(cid)
+    out = set()
+    for members in by_cluster.values():
+        members.sort()
+        for i, j in itertools.combinations(members, 2):
+            out.add((i, j))
+    return out
+
+
+def _oracle_clusters(pairs: set, all_ids) -> dict:
+    """Reference cluster assignments: connected components of the
+    brute-force >= threshold pair graph (union-find)."""
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in pairs:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    return {i: find(i) for i in all_ids}
+
+
 @pytest.fixture(scope="module")
 def pipeline_result(spark):
     clips, truth = generate_clips(spark, SPEC)
@@ -70,22 +100,33 @@ def pipeline_result(spark):
     return verified, clusters, metrics
 
 
-def test_recall_vs_brute_force(pipeline_result, brute_force_pairs):
-    verified, _, _ = pipeline_result
+def test_recall_vs_brute_force(pipeline_result, brute_force_pairs, clips_pdf):
+    """BASELINE.json metric: dup-pair recall vs reference cluster
+    assignments — pairs co-clustered by the oracle (CC over brute-force
+    exact-kernel pairs) must be co-clustered by the pipeline."""
+    _, clusters, _ = pipeline_result
     assert brute_force_pairs, "oracle produced no dup pairs — generator broken"
-    missed = brute_force_pairs - verified
-    recall = 1 - len(missed) / len(brute_force_pairs)
+    oracle = _oracle_clusters(brute_force_pairs, list(clips_pdf["clip_id"]))
+    want = _co_clustered_pairs(oracle)
+    got = _co_clustered_pairs(clusters)
+    missed = want - got
+    recall = 1 - len(missed) / len(want)
     assert recall >= 0.99, (
-        f"recall {recall:.4f} < 0.99: missed {len(missed)}/{len(brute_force_pairs)}"
+        f"recall {recall:.4f} < 0.99: missed {len(missed)}/{len(want)}"
         f" e.g. {sorted(missed)[:5]}"
     )
 
 
-def test_precision_is_exact(pipeline_result, brute_force_pairs):
-    """Verification is the exact kernel — no false positives possible."""
-    verified, _, _ = pipeline_result
-    false_pos = verified - brute_force_pairs
-    assert not false_pos, f"false positives: {sorted(false_pos)[:5]}"
+def test_precision_vs_brute_force(pipeline_result, brute_force_pairs, clips_pdf):
+    """Pipeline edges are exact-verified (>= t) or byte-identical, so
+    pipeline clusters can only refine-or-equal the oracle clusters: every
+    co-clustered pipeline pair must be co-clustered by the oracle."""
+    _, clusters, _ = pipeline_result
+    oracle = _oracle_clusters(brute_force_pairs, list(clips_pdf["clip_id"]))
+    want = _co_clustered_pairs(oracle)
+    got = _co_clustered_pairs(clusters)
+    false_pos = got - want
+    assert not false_pos, f"false co-clusterings: {sorted(false_pos)[:5]}"
 
 
 def test_clusters_cover_all_clips(pipeline_result):

@@ -104,11 +104,29 @@ class PipelineConfig:
     ngram_size: int = 3
     case_sensitive: bool = True
 
-    # MinHash / LSH
-    minhash_k: int = 128
-    lsh_bands: int = 32
-    lsh_rows: int = 4
+    # MinHash / LSH.  Default b=25/r=5: collision P at the J=0.8 verify
+    # threshold is 1-(1-0.8^5)^25 = 0.9998 (recall margin), while the
+    # high-baseline-similarity regime (random pairs at set-J~0.35-0.5 in
+    # small-vocab corpora) collides ~3x less than b=32/r=4 — measured 15.1M
+    # spurious candidates from 8.9k docs before this tuning.
+    minhash_k: int = 125
+    lsh_bands: int = 25
+    lsh_rows: int = 5
     minhash_seed: int = 42
+    # Candidate prefilter: drop pairs whose signature-agreement estimate of
+    # set-Jaccard is below verify_threshold - margin.  The margin covers
+    # BOTH the multiset-vs-set Jaccard gap (the verify threshold is
+    # multiset; measured set-J of true multiset-J>=0.8 pairs dips to ~0.73
+    # on repetitive text) AND estimator noise (sigma = sqrt(J(1-J)/k)
+    # ~= 0.04 at k=125).  0.25 puts the cutoff ~4.5 sigma below the worst
+    # observed true pair and ~2.5 sigma above worst-case noise (set-J
+    # ~0.45); 0 disables.  Pairs killed here cannot plausibly pass the
+    # exact multiset verify.
+    minhash_prefilter_margin: float = 0.25
+    # Exact-duplicate canonicalization: group byte-identical transcripts
+    # before candidate generation (identical strings are similarity 1.0 by
+    # the reference's quick answer — no tokenization needed).
+    exact_dedup_first: bool = True
 
     # SimHash / Hamming banding
     simhash_bits: int = 64

@@ -111,17 +111,39 @@ class NearDupPipeline:
         cfg = self.cfg
         spark = self.spark
 
-        # Stage 1: shingle + signatures.  Prune to (clip_id, transcript) —
-        # the BLOB stays at rest.  One pass computes tokens, minhash, simhash.
+        # Stage 0: exact-duplicate canonicalization.  Byte-identical
+        # transcripts are similarity 1.0 by the reference's quick answer
+        # (base_algorithm.cpp:243-278) — no tokenization needed.  Grouping
+        # them first (one shuffle on md5) shrinks every downstream stage;
+        # members inherit their representative's cluster at the end.
+        def build_groups():
+            from pyspark.sql import Window
+
+            if not cfg.exact_dedup_first:
+                return clips.select(
+                    "clip_id", F.col("clip_id").alias("rep_id")
+                )
+            w = Window.partitionBy(F.md5("transcript"))
+            return clips.select(
+                "clip_id", F.min("clip_id").over(w).alias("rep_id")
+            )
+
+        groups = self._stage("exact_groups", build_groups, clips)
+        rep_ids = groups.filter(F.col("clip_id") == F.col("rep_id")).select("clip_id")
+        rep_clips = clips.join(rep_ids, "clip_id", "left_semi")
+
+        # Stage 1: shingle + signatures over representatives only.  Prune to
+        # (clip_id, transcript) — the BLOB stays at rest.  One pass computes
+        # tokens, minhash, simhash.
         def build_signatures():
-            docs = clips.select("clip_id", "transcript").withColumn(
+            docs = rep_clips.select("clip_id", "transcript").withColumn(
                 "tokens", _tokens_col(cfg)
             )
             sig = minhash.with_minhash(docs, "tokens", cfg)
             sig = simhash.with_simhash(sig, "tokens")
             return sig.select("clip_id", "minhash", "simhash")
 
-        signatures = self._stage("signatures", build_signatures, clips)
+        signatures = self._stage("signatures", build_signatures, rep_clips)
 
         # Stage 2: LSH band candidates (salted, capped-with-metrics).
         def build_lsh_pairs():
@@ -160,7 +182,7 @@ class NearDupPipeline:
             def build_containment_pairs():
                 return (
                     suffix.containment_candidates(
-                        clips.select("clip_id", "transcript"),
+                        rep_clips.select("clip_id", "transcript"),
                         "clip_id",
                         "transcript",
                         min_len=cfg.substring_min_len,
@@ -168,7 +190,7 @@ class NearDupPipeline:
                     .withColumn("source", F.lit("containment"))
                 )
 
-            sub_pairs = self._stage("containment_candidates", build_containment_pairs, clips)
+            sub_pairs = self._stage("containment_candidates", build_containment_pairs, rep_clips)
         else:
             sub_pairs = spark.createDataFrame([], "id1 string, id2 string, source string")
 
@@ -180,7 +202,19 @@ class NearDupPipeline:
                 .groupBy("id1", "id2")
                 .agg(F.array_join(F.collect_set("source"), ",").alias("sources"))
             )
-            docs = clips.select(
+            # cheap signature-agreement prefilter: pairs whose estimated
+            # set-Jaccard is >4 sigma below the verify threshold cannot
+            # pass the exact verify — drop them before the gram join
+            # (measured 15.1M -> ~20k candidates on the bench corpus)
+            n_before = cand.count()
+            cand = minhash.prefilter_candidates(cand, signatures, cfg).persist()
+            n_after = cand.count()
+            self._log(
+                "verify_prefilter", n_before, n_after,
+                dropped=n_before - n_after,
+                detail=f"margin={cfg.minhash_prefilter_margin}",
+            )
+            docs = rep_clips.select(
                 "clip_id", _tokens_col(cfg).alias("tokens")
             )
             passed = verify.verify_pairs_multiset_jaccard(
@@ -190,19 +224,20 @@ class NearDupPipeline:
 
         verified = self._stage("verified_pairs", build_verified)
 
-        # Stage 6: connected components -> clusters (+ singleton closure).
+        # Stage 6: connected components over representative pairs, then
+        # every clip inherits its representative's cluster (exact-dup
+        # groups with no near-dup links cluster on rep_id).
         def build_clusters():
             comp = connected_components(
                 verified.select("id1", "id2"),
                 max_iterations=cfg.cc_max_iterations,
                 checkpoint_every=cfg.cc_checkpoint_every,
-            )
-            all_ids = clips.select(F.col("clip_id"))
+            ).withColumnRenamed("clip_id", "rep_id")
             return (
-                all_ids.join(comp, "clip_id", "left")
+                groups.join(comp, "rep_id", "left")
                 .select(
                     "clip_id",
-                    F.coalesce("cluster_id", F.col("clip_id")).alias("cluster_id"),
+                    F.coalesce("cluster_id", F.col("rep_id")).alias("cluster_id"),
                 )
             )
 
