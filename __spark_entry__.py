@@ -909,6 +909,185 @@ def q23_damerau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency cosine (reference kernel #9, NGRAM mode,
+    vector_based.cpp:86-123) from the shared inverted-index pair stats:
+    cos = dot / (||a||·||b||), clamped to [0,1].  Same one-shuffle plan as
+    q20/q21 — at 10^12 rows the candidate set comes from SimHash banding
+    (q17) and this exact kernel verifies."""
+    s = _gram_pair_stats(spark, sf_dir, len_band=40)
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("ssq1").cast("double")) * F.sqrt(F.col("ssq2").cast("double"))
+    )
+    cos = F.least(F.greatest(cos, F.lit(0.0)), F.lit(1.0))
+    return (
+        s.select(
+            "doc_id1",
+            "doc_id2",
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.8)
+    )
+
+
+_Q24_SQL = (
+    "WITH pair_stats AS ("
+    + _GRAM_PAIR_STATS_SQL.format(band=40)
+    + """)
+SELECT doc_id1, doc_id2,
+       round(least(greatest(dot::DOUBLE / (sqrt(ssq1::DOUBLE) * sqrt(ssq2::DOUBLE)), 0.0), 1.0), 6) AS cos_sim
+FROM pair_stats
+WHERE least(greatest(dot::DOUBLE / (sqrt(ssq1::DOUBLE) * sqrt(ssq2::DOUBLE)), 0.0), 1.0) >= 0.8
+"""
+)
+
+
+def q25_chebyshev_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chebyshev L∞ distance over trigram frequency vectors (reference
+    kernel #12, vector_based.cpp:391-452; sim = exp(-d), ×1000 integer
+    distance channel).  The union-of-frequencies max needs grams present in
+    only ONE side, which the equi-join inverted index can't see — so the
+    plan uses the signed-union shape: counts of side A as +c, side B as -c,
+    groupBy (pair, gram) sum, then max(|diff|).  Two shuffles, both on
+    bounded keys; pair set is pre-sampled and broadcast."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    meta = docs.select("doc_id", "lang", "n_chars")
+    a, b = meta.alias("a"), meta.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.doc_id") % 6 == 0)
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 30),
+    ).select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+    grams = (
+        docs.select("doc_id", F.explode(C.char_ngrams(F.col("text"), 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g1 = F.broadcast(pairs).join(grams, pairs.id1 == grams.doc_id).select(
+        "id1", "id2", "g", F.col("c").alias("sc")
+    )
+    g2 = F.broadcast(pairs).join(grams, pairs.id2 == grams.doc_id).select(
+        "id1", "id2", "g", (-F.col("c")).alias("sc")
+    )
+    diff = (
+        g1.unionByName(g2)
+        .groupBy("id1", "id2", "g")
+        .agg(F.sum("sc").alias("d"))
+    )
+    cheb = diff.groupBy("id1", "id2").agg(F.max(F.abs(F.col("d"))).alias("cheb"))
+    return cheb.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        (F.col("cheb") * 1000).cast("long").alias("cheb_dist_x1000"),
+        F.round(F.exp(-F.col("cheb").cast("double")), 6).alias("cheb_sim"),
+    )
+
+
+_Q25_SQL = """
+WITH grams AS (
+  SELECT doc_id, substring(text, i, 3) AS g, count(*) AS c
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i)
+  GROUP BY doc_id, substring(text, i, 3)
+),
+meta AS (SELECT doc_id, lang, n_chars FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM meta a JOIN meta b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND a.doc_id % 6 = 0 AND abs(a.n_chars - b.n_chars) <= 30
+),
+signed AS (
+  SELECT p.id1, p.id2, g.g, g.c AS sc FROM pairs p JOIN grams g ON g.doc_id = p.id1
+  UNION ALL
+  SELECT p.id1, p.id2, g.g, -g.c FROM pairs p JOIN grams g ON g.doc_id = p.id2
+),
+diff AS (SELECT id1, id2, g, sum(sc) AS d FROM signed GROUP BY id1, id2, g)
+SELECT id1 AS doc_id1, id2 AS doc_id2,
+       (max(abs(d)) * 1000)::BIGINT AS cheb_dist_x1000,
+       round(exp(-(max(abs(d))::DOUBLE)), 6) AS cheb_sim
+FROM diff GROUP BY id1, id2
+"""
+
+
+def q26_jaro_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro similarity (reference kernel #3, phonetic.cpp:39-168) through
+    the Arrow-batched pandas UDF, parity-checked against DuckDB's
+    independent jaro_similarity."""
+    from text_similarity_node_spark.config import Algorithm, AlgorithmConfig
+    from text_similarity_node_spark.functions.spark_udfs import similarity_udf
+
+    jaro = similarity_udf(AlgorithmConfig(algorithm=Algorithm.JARO))
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.doc_id") % 6 == 0)
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 10),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+            F.round(jaro(F.col("a.text"), F.col("b.text")), 6).alias("jaro_sim"),
+        )
+        .filter(F.col("jaro_sim") >= 0.75)
+    )
+
+
+_Q26_SQL = """
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       round(jaro_similarity(a.text, b.text), 6) AS jaro_sim
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND a.doc_id % 6 = 0 AND abs(a.n_chars - b.n_chars) <= 10
+WHERE jaro_similarity(a.text, b.text) >= 0.75
+"""
+
+
+def q27_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-payload path end-to-end: synthesize a deterministic
+    pcm_s16le payload per doc (seeded sine, Arrow-batched UDF), carry it as
+    an opaque BINARY column with typed metadata, decode + RMS through the
+    audio operator (operators/audio.py).  The synthesis is analytic, so the
+    DuckDB oracle recomputes the identical waveform in SQL — the decode
+    plumbing (binary → Arrow → numpy → aggregate) is what's under test.
+    Scale: payloads never shuffle (derived and consumed in one stage)."""
+    from text_similarity_node_spark.operators.audio import (
+        rms_energy_udf,
+        synth_sine_pcm_udf as synth,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    clips = docs.select(
+        "doc_id",
+        synth(F.col("doc_id")).alias("bytes"),
+        F.lit(16000).alias("sr_hz"),
+        F.lit("pcm_s16le").alias("codec"),
+    )
+    return clips.select(
+        "doc_id",
+        (F.length("bytes") / 2).cast("long").alias("n_samples"),
+        F.round(rms_energy_udf(F.col("bytes")), 6).alias("rms"),
+    ).orderBy("doc_id")
+
+
+_Q27_SQL = """
+WITH samp AS (
+  SELECT d.doc_id,
+         trunc(16384.0 * sin(2 * pi() * (100 + d.doc_id % 400) * i / 16000.0)) / 32768.0 AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, 799)) AS i)
+)
+SELECT doc_id, 800::BIGINT AS n_samples, round(sqrt(avg(v * v)), 6) AS rms
+FROM samp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -944,6 +1123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_lnorm_distances": q21_lnorm_distances,
         "q22_hamming_prefix": q22_hamming_prefix,
         "q23_damerau_pairs": q23_damerau_pairs,
+        "q24_cosine_pairs": q24_cosine_pairs,
+        "q25_chebyshev_pairs": q25_chebyshev_pairs,
+        "q26_jaro_pairs": q26_jaro_pairs,
+        "q27_audio_rms": q27_audio_rms,
     }
 
 
@@ -967,6 +1150,10 @@ def oracle_sql() -> dict[str, str]:
         "q20_multiset_measures": _Q20_SQL,
         "q21_lnorm_distances": _Q21_SQL,
         "q22_hamming_prefix": _Q22_SQL,
+        "q24_cosine_pairs": _Q24_SQL,
+        "q25_chebyshev_pairs": _Q25_SQL,
+        "q26_jaro_pairs": _Q26_SQL,
+        "q27_audio_rms": _Q27_SQL,
         # q16-q19 intentionally have no oracle: probabilistic candidate
         # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks and pytest

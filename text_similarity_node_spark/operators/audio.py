@@ -105,6 +105,21 @@ def frame_sample_udf(frame_ms: int = 25, hop_ms: int = 10):
     return udf
 
 
+@F.pandas_udf(T.BinaryType())
+def synth_sine_pcm_udf(doc_id: pd.Series) -> pd.Series:
+    """Deterministic pcm_s16le payload per id: 800-sample 16 kHz sine at
+    100 + id % 400 Hz, amplitude 16384 — analytic, so SQL oracles can
+    recompute the exact waveform (used by the driver-contract audio query
+    and fixtures)."""
+    out = []
+    for d in doc_id:
+        freq = 100.0 + (int(d) % 400)
+        t = np.arange(800) / 16000.0
+        x = np.sin(2.0 * np.pi * freq * t)
+        out.append((x * 16384.0).astype("<i2").tobytes())
+    return pd.Series(out)
+
+
 def resample_stub(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     """DETERMINISTIC FAKE resampler (linear interpolation) — marked stub:
     a real pipeline would use a polyphase filter from an audio library not
