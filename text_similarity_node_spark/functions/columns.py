@@ -196,6 +196,22 @@ def levenshtein_distance_thresholded(c1: Column, c2: Column, threshold: int) -> 
     return F.when(d < 0, F.lit(threshold + 1)).otherwise(d)
 
 
+def levenshtein_similarity_banded(c1: Column, c2: Column, band: int) -> Column:
+    """sim = 1 - d/max(len) where d comes from the banded 3-arg built-in
+    (O(band·n) + early abandon instead of O(n²), levenshtein.cpp:168-246).
+    EXACT only for predicates `sim >= tau` with band >= (1-tau)·max_len over
+    the whole input: pairs the band rejects (d = -1) get sim 0, which the
+    predicate would have rejected anyway."""
+    d = F.levenshtein(c1, c2, band)
+    max_len = F.greatest(F.length(c1), F.length(c2)).cast("double")
+    return (
+        F.when((F.length(c1) == 0) & (F.length(c2) == 0), F.lit(1.0))
+        .when((F.length(c1) == 0) | (F.length(c2) == 0), F.lit(0.0))
+        .when(d < 0, F.lit(0.0))
+        .otherwise(1.0 - d.cast("double") / max_len)
+    )
+
+
 def hamming_distance_equal_len(c1: Column, c2: Column) -> Column:
     """Positional mismatch count for equal-length strings; null when lengths
     differ (the error channel in DataFrame form)."""
