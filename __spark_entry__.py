@@ -1125,6 +1125,50 @@ FROM samp GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q28_exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level exact dedup through operators/dedup.exact_dedup: every row
+    keeps its content-group's canonical id + duplicate flag (the keep/drop
+    decision a training-data pipeline applies).  One shuffle on md5(text);
+    window-min inside the hash partition."""
+    from text_similarity_node_spark.operators.dedup import exact_dedup
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    out = exact_dedup(corpus, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "canonical_id",
+        F.col("is_duplicate").cast("int").alias("is_dup"),
+    ).orderBy("doc_id")
+
+
+_Q28_SQL = f"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL})
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       (doc_id != min(doc_id) OVER (PARTITION BY md5(text)))::INT AS is_dup
+FROM corpus ORDER BY doc_id
+"""
+
+
+def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (operators/dedup.embedding_neardup):
+    random-hyperplane bucket join with 1-bit multiprobe + exact cosine
+    filter.  No SQL oracle — bucket membership is model-defined; recall of
+    the RHP scheme vs exact top-k is measured in tests/test_ann.py.  The
+    exact-cosine threshold makes precision 1.0 by construction."""
+    from text_similarity_node_spark.operators.dedup import embedding_neardup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup(
+        emb, "vec_id", "embedding", dim=64, threshold=0.95, n_bits=8
+    )
+    return pairs.select(
+        F.col("id1").alias("vec_id1"),
+        F.col("id2").alias("vec_id2"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1164,6 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_chebyshev_pairs": q25_chebyshev_pairs,
         "q26_jaro_pairs": q26_jaro_pairs,
         "q27_audio_rms": q27_audio_rms,
+        "q28_exact_dedup_canonical": q28_exact_dedup_canonical,
+        "q29_embedding_neardup": q29_embedding_neardup,
     }
 
 
@@ -1191,7 +1237,8 @@ def oracle_sql() -> dict[str, str]:
         "q25_chebyshev_pairs": _Q25_SQL,
         "q26_jaro_pairs": _Q26_SQL,
         "q27_audio_rms": _Q27_SQL,
-        # q16-q19 intentionally have no oracle: probabilistic candidate
+        "q28_exact_dedup_canonical": _Q28_SQL,
+        # q16-q19 and q29 intentionally have no oracle: probabilistic candidate
         # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks and pytest
         # covers recall/exactness (test_pipeline.py, test_ann.py).
