@@ -1,8 +1,8 @@
 """Benchmark harness.
 
-Default mode: runs the headline queries + the full near-dup pipeline at
-``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) plus the full near-dup pipeline over a synthetic
+clips table, on ``local[$SPARK_GRAFT_CPUS]``, and prints ONE JSON line:
 
     {"metric": "e2e_seconds", "value": N, "unit": "sec",
      "queries": {...}, "sf": ..., "clips_per_sec": ...}
@@ -10,11 +10,15 @@ Default mode: runs the headline queries + the full near-dup pipeline at
 ``--scaling`` mode: runs the identical pipeline job at two parallelism
 levels (N=8 and 4N=32 cores by default — the sandbox stand-in for N vs 4N
 executor clusters per the driver instruction), reports throughput at both
-plus efficiency = (T_N / T_4N) / 4, and writes BENCH/BASELINE.md.
+plus efficiency = (thr_4N / thr_N) / 4, and writes BENCH/BASELINE.md.
 
-The pipeline input is a clips table derived deterministically from the
-documents table (every doc a clip; planted duplicate clusters via exact
-copies, prefix-dropped copies, and case-flipped copies) — no external data.
+The pipeline input is the input_hint-shaped clips table
+(clip_id, bytes, sr_hz, dur_ms, codec, transcript) from the deterministic
+generator in sources/clips.py — planted duplicate clusters, PCM payloads,
+no external data.  The table is materialized to parquet ONCE (untimed, like
+any data already at rest in Iceberg); timed runs read it from disk, so both
+parallelism levels see the identical input and the measurement contains no
+generation cost.
 """
 
 from __future__ import annotations
@@ -28,52 +32,40 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_CLIPS", "60000"))
+WARMUP_CLIPS = 2000
 
 
-def derived_clips(spark, sf_dir):
-    """documents -> clips(clip_id, transcript) with planted dup clusters."""
-    from pyspark.sql import functions as F
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.format_string("clip_%09d", F.col("doc_id")).alias("clip_id"),
-        F.col("text").alias("transcript"),
-        F.col("doc_id"),
-    )
-    exact = docs.filter(F.col("doc_id") % 3 == 0).select(
-        F.format_string("clip_e%08d", F.col("doc_id")).alias("clip_id"),
-        F.col("transcript"),
-        F.col("doc_id"),
-    )
-    prefix = docs.filter(F.col("doc_id") % 4 == 0).select(
-        F.format_string("clip_p%08d", F.col("doc_id")).alias("clip_id"),
-        F.expr("substring(transcript, 9)").alias("transcript"),
-        F.col("doc_id"),
-    )
-    upper = docs.filter(F.col("doc_id") % 5 == 0).select(
-        F.format_string("clip_u%08d", F.col("doc_id")).alias("clip_id"),
-        F.concat(F.upper(F.expr("substring(transcript, 1, 6)")),
-                 F.expr("substring(transcript, 7)")).alias("transcript"),
-        F.col("doc_id"),
-    )
-    return (
-        docs.unionByName(exact).unionByName(prefix).unionByName(upper)
-        .select("clip_id", "transcript")
-    )
-
-
-def run_pipeline(spark, sf_dir, shuffle_partitions):
+def bench_pipeline_config(shuffle_partitions: int, run_id: str):
+    """5-gram shingles: at ngram 3 the generator vocabulary gives unrelated
+    pairs set-J ~0.34 (p99 0.52) — right on the b=25/r=5 S-curve midpoint,
+    so LSH admits a quadratic noise mass.  At ngram 5 noise drops to mean
+    0.15 / p99 0.24 while true dups stay ~0.8 — candidates ~= real pairs,
+    which is the regime a realistic web corpus is in."""
     from text_similarity_node_spark.config import PipelineConfig
-    from text_similarity_node_spark.plans.pipeline import NearDupPipeline
 
-    clips = derived_clips(spark, sf_dir)
-    n_clips = clips.count()
-    cfg = PipelineConfig(
+    return PipelineConfig(
+        ngram_size=5,
         verify_threshold=0.8,
         hot_band_threshold=500,
         salt_buckets=8,
         shuffle_partitions=shuffle_partitions,
-        run_id=f"bench_{shuffle_partitions}",
+        run_id=run_id,
     )
+
+
+def materialize_clips(spark, n_clips: int, path: str) -> None:
+    from text_similarity_node_spark.sources.clips import ClipsSpec, generate_clips
+
+    clips, _truth = generate_clips(spark, ClipsSpec(n_clips=n_clips, seed=42))
+    clips.write.mode("overwrite").parquet(path)
+
+
+def run_pipeline(spark, clips_path: str, shuffle_partitions: int, run_id: str):
+    from text_similarity_node_spark.plans.pipeline import NearDupPipeline
+
+    clips = spark.read.parquet(clips_path)
+    cfg = bench_pipeline_config(shuffle_partitions, run_id)
     wh = tempfile.mkdtemp(prefix="tsn_bench_wh_")
     try:
         t0 = time.time()
@@ -82,7 +74,7 @@ def run_pipeline(spark, sf_dir, shuffle_partitions):
         elapsed = time.time() - t0
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-    return elapsed, n_clips, n_clusters
+    return elapsed, n_clusters
 
 
 def bench_default():
@@ -110,8 +102,13 @@ def bench_default():
         qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    pipe_s, n_clips, n_clusters = run_pipeline(spark, SF_DIR, CPUS)
+    clips_dir = tempfile.mkdtemp(prefix="tsn_bench_clips_")
+    clips_path = os.path.join(clips_dir, "clips.parquet")
+    try:
+        materialize_clips(spark, N_CLIPS, clips_path)
+        pipe_s, n_clusters = run_pipeline(spark, clips_path, CPUS, "bench")
+    finally:
+        shutil.rmtree(clips_dir, ignore_errors=True)
     queries["neardup_pipeline"] = round(pipe_s, 3)
 
     total = round(sum(queries.values()), 3)
@@ -121,8 +118,8 @@ def bench_default():
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "clips": n_clips,
-        "clips_per_sec": round(n_clips / pipe_s, 1),
+        "clips": N_CLIPS,
+        "clips_per_sec": round(N_CLIPS / pipe_s, 1),
         "n_clusters": n_clusters,
         "cores": CPUS,
     }
@@ -132,23 +129,36 @@ def bench_default():
 
 
 def bench_scaling(n_small=8, n_large=32):
-    """Same job, same input, two parallelism levels -> scaling efficiency."""
+    """Same job, same materialized input, two parallelism levels ->
+    scaling efficiency.  A small warm-up run per level absorbs JVM/Arrow
+    init so the measured pass is steady-state."""
     from text_similarity_node_spark.session import get_spark
 
+    gen = get_spark(app_name="tsn-scale-gen", cores=n_large,
+                    shuffle_partitions=n_large)
+    clips_dir = tempfile.mkdtemp(prefix="tsn_scale_clips_")
+    clips_path = os.path.join(clips_dir, "clips.parquet")
+    warm_path = os.path.join(clips_dir, "warmup.parquet")
+    materialize_clips(gen, N_CLIPS, clips_path)
+    materialize_clips(gen, WARMUP_CLIPS, warm_path)
+    gen.stop()
+
     results = {}
-    for cores in (n_small, n_large):
-        spark = get_spark(
-            app_name=f"tsn-scale-{cores}", cores=cores, shuffle_partitions=cores
-        )
-        # warm-up pass absorbs JVM/Arrow init so the measured pass is steady-state
-        run_pipeline(spark, SF_DIR, cores)
-        elapsed, n_clips, _ = run_pipeline(spark, SF_DIR, cores)
-        results[cores] = {
-            "seconds": round(elapsed, 2),
-            "clips": n_clips,
-            "clips_per_sec": round(n_clips / elapsed, 1),
-        }
-        spark.stop()
+    try:
+        for cores in (n_small, n_large):
+            spark = get_spark(
+                app_name=f"tsn-scale-{cores}", cores=cores, shuffle_partitions=cores
+            )
+            run_pipeline(spark, warm_path, cores, f"warm_{cores}")
+            elapsed, _ = run_pipeline(spark, clips_path, cores, f"scale_{cores}")
+            results[cores] = {
+                "seconds": round(elapsed, 2),
+                "clips": N_CLIPS,
+                "clips_per_sec": round(N_CLIPS / elapsed, 1),
+            }
+            spark.stop()
+    finally:
+        shutil.rmtree(clips_dir, ignore_errors=True)
 
     thr_small = results[n_small]["clips_per_sec"]
     thr_large = results[n_large]["clips_per_sec"]
@@ -162,7 +172,7 @@ def bench_scaling(n_small=8, n_large=32):
         "4n_cores": n_large,
         "throughput_n": thr_small,
         "throughput_4n": thr_large,
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "clips": N_CLIPS,
     }
     print(json.dumps(out))
 
@@ -170,10 +180,13 @@ def bench_scaling(n_small=8, n_large=32):
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — measured scaling (sandbox stand-in for N vs 4N executors)\n\n"
-            f"Input: derived clips table from `{SF_DIR}/documents.parquet` "
-            "(documents + planted duplicate clusters), identical at both levels.\n"
-            "Job: full near-dup pipeline (shingle -> minhash -> LSH salted join ->\n"
-            "simhash -> containment -> exact verify -> connected components).\n\n"
+            f"Input: deterministic clips table, {N_CLIPS} rows, input_hint schema\n"
+            "(clip_id, bytes PCM, sr_hz, dur_ms, codec, transcript), planted\n"
+            "duplicate clusters (sources/clips.py, seed 42), materialized to\n"
+            "parquet once and read identically at both levels (generation untimed).\n"
+            "Job: full near-dup pipeline (5-gram shingle -> minhash -> LSH salted\n"
+            "join -> simhash -> containment -> prefilter -> exact multiset-Jaccard\n"
+            "verify -> connected components), checkpoints + metrics + lineage on.\n\n"
             "| parallelism | wall s | clips/sec |\n|---|---|---|\n"
             f"| local[{n_small}] (N) | {results[n_small]['seconds']} | {thr_small} |\n"
             f"| local[{n_large}] (4N) | {results[n_large]['seconds']} | {thr_large} |\n\n"

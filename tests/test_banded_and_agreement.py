@@ -57,6 +57,53 @@ def test_signature_agreement_vectorized(spark):
     assert got == pytest.approx([1.0, 0.5, 0.0, 0.0])
 
 
+def test_signature_agreement_col_matches_udf(spark):
+    from text_similarity_node_spark.operators.minhash import (
+        signature_agreement_col,
+        signature_agreement_udf,
+    )
+
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 2, 3, 4]), ([1, 2, 3, 4], [4, 2, 3, 0]),
+         ([5, 6, 7, 8], [0, 0, 0, 0])],
+        "s1 array<bigint>, s2 array<bigint>",
+    )
+    got = df.select(
+        signature_agreement_col(F.col("s1"), F.col("s2"), 4).alias("c"),
+        signature_agreement_udf("s1", "s2").alias("u"),
+    ).collect()
+    for r in got:
+        assert r.c == pytest.approx(r.u)
+
+
+def test_minhash_agreement_col_matches_positional_on_signatures(spark):
+    """On REAL minhash signatures (distinct splitmix64 slot values) the
+    value-intersection estimator equals positional agreement."""
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators.minhash import (
+        minhash_agreement_col,
+        signature_agreement_col,
+        with_minhash,
+    )
+
+    cfg = PipelineConfig()
+    docs = spark.createDataFrame(
+        [(i, [f"tok{j}" for j in range(i, i + 40)]) for i in range(0, 60, 3)],
+        "rid long, tokens array<string>",
+    )
+    sig = with_minhash(docs, "tokens", cfg)
+    a = sig.select(F.col("rid").alias("r1"), F.col("minhash").alias("s1"))
+    b = sig.select(F.col("rid").alias("r2"), F.col("minhash").alias("s2"))
+    pairs = a.join(b, F.col("r1") < F.col("r2"))
+    rows = pairs.select(
+        minhash_agreement_col(F.col("s1"), F.col("s2"), cfg.minhash_k).alias("v"),
+        signature_agreement_col(F.col("s1"), F.col("s2"), cfg.minhash_k).alias("p"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.v == pytest.approx(r.p)
+
+
 def test_synth_pcm_deterministic_and_decodable(spark):
     from text_similarity_node_spark.operators.audio import (
         decode_pcm_s16le,

@@ -27,7 +27,11 @@ from ..functions.spark_udfs import hash_tokens_u64
 
 @F.pandas_udf(T.LongType())
 def simhash64_udf(tokens: pd.Series) -> pd.Series:
-    """array<string> tokens (with multiplicity) -> 64-bit SimHash."""
+    """array<string> tokens (with multiplicity) -> 64-bit SimHash.
+
+    Per-row numpy on purpose: the (distinct x 64) bit matrix per row is
+    cache-resident.  A whole-batch lexsort + add.reduceat variant was
+    measured 9x slower (DRAM-sized 2.5M x 64 int64 contrib matrix)."""
     out = np.zeros(len(tokens), dtype=np.int64)
     for i, toks in enumerate(tokens):
         if toks is None or len(toks) == 0:

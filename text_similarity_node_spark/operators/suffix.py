@@ -77,26 +77,35 @@ def containment_candidates(
     text_col: str,
     min_len: int = 32,
     window: int = 16,
-    fingerprint_cap: int = 5000,
-) -> DataFrame:
+    fingerprint_cap: int = 64,
+    return_metrics: bool = False,
+):
     """df(id, text) -> candidate pairs (id1 < id2) sharing >= 1 winnowed
     fingerprint of a >= min_len-char exact overlap.
 
     ``fingerprint_cap`` drops degenerate fingerprints shared by more than
-    cap documents (boilerplate of the boilerplate) — callers receive the
-    drop count via the returned DataFrame's companion metric aggregation
-    when used inside the pipeline (plans/pipeline.py logs it)."""
+    cap documents: a boilerplate sentence present in f docs otherwise
+    yields f²/2 candidate pairs that share ONLY the boilerplate (measured
+    1.37M of 1.7M candidates on a 20k-clip corpus before this cap).  Such
+    pairs are not duplicates; members that really are near-dups still reach
+    verification through the MinHash pass.  With ``return_metrics`` the cap
+    is never silent: (pairs, fp_metrics) where fp_metrics has one row per
+    dropped fingerprint (fp, n_docs)."""
     fps = df.select(
         F.col(id_col).alias("rid"),
         F.explode(fingerprint_udf(min_len, window)(F.col(text_col))).alias("fp"),
     ).distinct()
+    if return_metrics:
+        # the metrics aggregate and the pair join both consume fps; without
+        # this the fingerprint UDF runs twice
+        fps = fps.persist()
     counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     # anti-join against the (small) hot set — broadcasting the keep-set
     # would ship every distinct fingerprint to every executor
-    hot = counts.filter(F.col("n") > fingerprint_cap).select("fp")
-    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    hot = counts.filter(F.col("n") > fingerprint_cap)
+    fps = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp")) & (F.col("a.rid") < F.col("b.rid")),
@@ -104,3 +113,6 @@ def containment_candidates(
         .select(F.col("a.rid").alias("id1"), F.col("b.rid").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
+    if return_metrics:
+        return pairs, hot.select("fp", F.col("n").alias("n_docs"))
+    return pairs

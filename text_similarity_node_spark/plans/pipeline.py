@@ -63,33 +63,64 @@ class NearDupPipeline:
 
     # -- ledger helpers ------------------------------------------------------
 
+    _METRICS_SCHEMA = None  # built lazily (pyarrow import at call time)
+
     def _log(self, stage: str, rows_in: int, rows_out: int, dropped: int = 0,
              detail: str = "") -> None:
-        row = [
-            (
-                self.cfg.run_id,
-                stage,
-                self.chash,
-                int(rows_in),
-                int(rows_out),
-                int(dropped),
-                detail,
-                float(time.time() - self._t0),
-            )
-        ]
-        df = self.spark.createDataFrame(
-            row,
-            "run_id string, stage string, config_hash string, rows_in long, "
-            "rows_out long, dropped long, detail string, elapsed_s double",
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("run_id", pa.string()),
+                ("stage", pa.string()),
+                ("config_hash", pa.string()),
+                ("rows_in", pa.int64()),
+                ("rows_out", pa.int64()),
+                ("dropped", pa.int64()),
+                ("detail", pa.string()),
+                ("elapsed_s", pa.float64()),
+            ]
         )
-        self.catalog.append(df, "metrics")
+        self.catalog.append_rows(
+            [
+                {
+                    "run_id": self.cfg.run_id,
+                    "stage": stage,
+                    "config_hash": self.chash,
+                    "rows_in": int(rows_in),
+                    "rows_out": int(rows_out),
+                    "dropped": int(dropped),
+                    "detail": detail,
+                    "elapsed_s": float(time.time() - self._t0),
+                }
+            ],
+            "metrics",
+            schema=schema,
+        )
 
     def _lineage(self, stage: str, input_desc: str) -> None:
-        df = self.spark.createDataFrame(
-            [(self.cfg.run_id, stage, self.chash, input_desc)],
-            "run_id string, stage string, config_hash string, input_snapshot string",
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("run_id", pa.string()),
+                ("stage", pa.string()),
+                ("config_hash", pa.string()),
+                ("input_snapshot", pa.string()),
+            ]
         )
-        self.catalog.append(df, "lineage")
+        self.catalog.append_rows(
+            [
+                {
+                    "run_id": self.cfg.run_id,
+                    "stage": stage,
+                    "config_hash": self.chash,
+                    "input_snapshot": input_desc,
+                }
+            ],
+            "lineage",
+            schema=schema,
+        )
 
     def _stage(self, name: str, build, rows_in_df: DataFrame | None = None) -> DataFrame:
         """Run-or-resume one stage: if the checkpoint exists for this config
@@ -143,23 +174,24 @@ class NearDupPipeline:
             sig = simhash.with_simhash(sig, "tokens")
             return sig.select("clip_id", "minhash", "simhash")
 
-        signatures = self._stage("signatures", build_signatures, rep_clips)
+        signatures = self._stage("signatures", build_signatures, rep_ids)
 
         # Stage 2: LSH band candidates (salted, capped-with-metrics).
         def build_lsh_pairs():
             bands = minhash.explode_bands(signatures, "clip_id", "minhash", cfg)
             pairs, band_metrics = lsh.candidate_pairs(bands, cfg)
-            dropped = (
-                band_metrics.filter(F.col("disposition") == "dropped")
-                .agg(F.coalesce(F.sum("n_rows"), F.lit(0)))
-                .collect()[0][0]
-            )
-            salted = (
-                band_metrics.filter(F.col("disposition") == "salted").count()
-            )
+            dropped, salted = band_metrics.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("disposition") == "dropped", F.col("n_rows"))
+                    ),
+                    F.lit(0),
+                ),
+                F.count(F.when(F.col("disposition") == "salted", F.lit(1))),
+            ).collect()[0]
             self._log(
                 "lsh_band_audit", -1, -1, dropped=int(dropped),
-                detail=f"salted_keys={salted}",
+                detail=f"salted_keys={int(salted)}",
             )
             return pairs.withColumn("source", F.lit("minhash_lsh"))
 
@@ -180,17 +212,25 @@ class NearDupPipeline:
         # Stage 4: containment (winnowed substring) candidates.
         if cfg.substring_enabled:
             def build_containment_pairs():
-                return (
-                    suffix.containment_candidates(
-                        rep_clips.select("clip_id", "transcript"),
-                        "clip_id",
-                        "transcript",
-                        min_len=cfg.substring_min_len,
-                    )
-                    .withColumn("source", F.lit("containment"))
+                pairs, fp_hot = suffix.containment_candidates(
+                    rep_clips.select("clip_id", "transcript"),
+                    "clip_id",
+                    "transcript",
+                    min_len=cfg.substring_min_len,
+                    return_metrics=True,
                 )
+                dropped_fps, dropped_rows = (
+                    fp_hot.agg(
+                        F.count(F.lit(1)), F.coalesce(F.sum("n_docs"), F.lit(0))
+                    ).collect()[0]
+                )
+                self._log(
+                    "containment_fp_audit", -1, -1, dropped=int(dropped_rows),
+                    detail=f"capped_fingerprints={int(dropped_fps)}",
+                )
+                return pairs.withColumn("source", F.lit("containment"))
 
-            sub_pairs = self._stage("containment_candidates", build_containment_pairs, rep_clips)
+            sub_pairs = self._stage("containment_candidates", build_containment_pairs, rep_ids)
         else:
             sub_pairs = spark.createDataFrame([], "id1 string, id2 string, source string")
 
@@ -206,6 +246,7 @@ class NearDupPipeline:
             # set-Jaccard is >4 sigma below the verify threshold cannot
             # pass the exact verify — drop them before the gram join
             # (measured 15.1M -> ~20k candidates on the bench corpus)
+            cand = cand.persist()  # consumed by the count AND the prefilter
             n_before = cand.count()
             cand = minhash.prefilter_candidates(cand, signatures, cfg).persist()
             n_after = cand.count()

@@ -42,7 +42,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("TSN_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # signature tables (1 KiB/row) up to ~250k rows should broadcast in
+        # the prefilter joins — at 64 MB the 7M-pair candidate table was the
+        # side being shuffled twice instead
+        .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
     )
     iceberg_jars = os.environ.get("TSN_ICEBERG_JARS")
     if iceberg_jars:

@@ -55,6 +55,24 @@ class ParquetCatalog:
         """Append-only sink (metrics / lineage ledgers)."""
         df.write.mode("append").parquet(os.path.join(self.warehouse, table))
 
+    def append_rows(self, rows: list[dict], table: str, schema=None) -> None:
+        """Driver-side append of a handful of ledger rows via pyarrow —
+        no Spark job.  Ledger rows are tiny and per-stage; routing them
+        through a distributed write costs a full job-submission round-trip
+        each (measured ~0.5 s apiece, ~12 per pipeline run).  Files are
+        plain parquet, readable by read_ledger like any other append.
+        ``schema`` is a pyarrow schema; pass it so all-null / absent columns
+        keep the ledger's declared types across files."""
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.warehouse, table)
+        os.makedirs(d, exist_ok=True)
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(tbl, os.path.join(d, f"ledger-{_uuid.uuid4().hex}.parquet"))
+
     def read_ledger(self, table: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.warehouse, table))
 
