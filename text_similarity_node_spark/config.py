@@ -151,6 +151,12 @@ class PipelineConfig:
 
     # execution
     shuffle_partitions: int = 32
+    # Durable per-stage checkpoints (parquet/Iceberg tables keyed by config
+    # hash) give resume + lineage; False keeps intermediates as in-memory
+    # persist() only — one fused DAG, no checkpoint I/O.  On a cluster the
+    # checkpoint store scales with executors; in the single-disk sandbox it
+    # serializes, so the scaling bench disables it at BOTH levels.
+    checkpoint_stages: bool = True
 
     run_id: str = "run0"
 
@@ -167,6 +173,9 @@ class PipelineConfig:
         hash matches."""
         payload = asdict(self)
         payload.pop("run_id")
+        # execution-only knobs don't change results
+        payload.pop("checkpoint_stages", None)
+        payload.pop("shuffle_partitions", None)
         blob = json.dumps(payload, sort_keys=True, default=str).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

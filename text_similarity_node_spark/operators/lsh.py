@@ -39,9 +39,9 @@ def candidate_pairs(
     disposition in {cold, salted, dropped} — the no-silent-caps ledger."""
     key = ["band_id", "band_hash"]
 
-    # bands is consumed by two branches (counts aggregate + tagged join);
-    # without persisting, the upstream signature UDF would run twice —
-    # measured 5x wall-clock on the LSH query before this cache.
+    # bands is consumed by the counts aggregate and (twice) by the salted
+    # self-join; the persist keeps the upstream signature decode from
+    # re-running per consumer.
     bands = bands.persist()
     counts = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("n_rows"))
     counts = counts.withColumn(
@@ -50,39 +50,35 @@ def candidate_pairs(
         .when(F.col("n_rows") > cfg.hot_band_threshold, F.lit("salted"))
         .otherwise(F.lit("cold")),
     )
-    # the counts table is tiny relative to bands (one row per distinct key)
-    tagged = bands.join(F.broadcast(counts.filter(F.col("disposition") != "cold")), key, "left")
-    tagged = tagged.withColumn("disposition", F.coalesce("disposition", F.lit("cold")))
-
-    cold = tagged.filter(F.col("disposition") == "cold").select(id_col, *key)
-    hot = tagged.filter(F.col("disposition") == "salted").select(id_col, *key)
-
-    # --- cold path: plain self equi-join ---------------------------------
-    a = cold.alias("a")
-    b = cold.alias("b")
-    cold_pairs = a.join(
-        b,
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_hash") == F.col("b.band_hash"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+    # the non-cold key set is tiny (one row per distinct hot/dropped key)
+    tagged = bands.join(
+        F.broadcast(counts.filter(F.col("disposition") != "cold")), key, "left"
     )
+    tagged = tagged.withColumn(
+        "disposition", F.coalesce("disposition", F.lit("cold"))
+    ).filter(F.col("disposition") != "dropped")
 
-    # --- hot path: salted join --------------------------------------------
+    # --- one uniform salted triangle join --------------------------------
+    # Cold keys take salt-bucket count 1 (salt 0 on both sides — exactly
+    # the plain equi-join); hot keys take g buckets.  Left rows keep their
+    # deterministic salt; right rows replicate to every block of their
+    # key's bucket count.  Every unordered pair {x, y} with id_x < id_y
+    # meets in exactly one block (l=x at salt_x, r=y's replica at salt_x),
+    # so the pair space is covered while no reducer sees more than ~1/g of
+    # a hot key's left rows — the quadratic blowup is split across g*g
+    # tasks.  A single join (vs separate cold/hot branches + union) halves
+    # the passes over the band table.
     g = cfg.salt_buckets
-    salted = hot.withColumn("salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int"))
-    # Left side keeps its deterministic salt; right side is replicated to all
-    # g salt blocks.  Every unordered pair {x, y} with id_x < id_y meets in
-    # exactly one block (l=x at salt_x, r=y's replica at salt_x), so the pair
-    # space is covered while each reducer sees only ~1/g of the hot key's
-    # left rows — the quadratic blowup is split across g*g tasks.
-    right = salted.withColumn(
-        "salt_j", F.explode(F.sequence(F.lit(0), F.lit(g - 1)))
-    ).drop("salt")
-    l = salted.alias("l")
+    gk = F.when(F.col("disposition") == "salted", F.lit(g)).otherwise(F.lit(1))
+    left = tagged.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), gk).cast("int")
+    ).select(id_col, *key, "salt")
+    right = tagged.withColumn(
+        "salt_j", F.explode(F.sequence(F.lit(0), gk - 1))
+    ).select(id_col, *key, "salt_j")
+    l = left.alias("l")
     r = right.alias("r")
-    hot_pairs = l.join(
+    pairs = l.join(
         r,
         (F.col("l.band_id") == F.col("r.band_id"))
         & (F.col("l.band_hash") == F.col("r.band_hash"))
@@ -90,7 +86,5 @@ def candidate_pairs(
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     ).select(
         F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2")
-    )
-
-    pairs = cold_pairs.unionByName(hot_pairs).dropDuplicates(["id1", "id2"])
+    ).dropDuplicates(["id1", "id2"])
     return pairs, counts

@@ -27,35 +27,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_MOD = (1 << 61) - 1
 _BASE = 1_000_003
+_MAX_GRAM = 256  # fingerprint grams longer than this are not supported
+
+# BASE^j over natural uint64 wraparound — the rolling polynomial ring.
+# (An earlier version used a Mersenne-61 modulus with a per-character
+# Python loop: 1.9 µs/char, ~20 s for 343k transcripts at local[8].  The
+# wraparound ring lets the k window terms be k vectorized shifted
+# multiply-adds instead.)
+_BPOW = np.empty(_MAX_GRAM, dtype=np.uint64)
+_BPOW[0] = 1
+for _i in range(1, _MAX_GRAM):
+    _BPOW[_i] = _BPOW[_i - 1] * np.uint64(_BASE)  # wraps mod 2^64
 
 
 def _rolling_fingerprints(s: str, k: int, w: int) -> list[int]:
-    """Winnowed k-gram rolling hashes of s (codepoint-level)."""
+    """Winnowed k-gram rolling hashes of s (codepoint-level).
+    h(i) = sum_{j<k} codes[i+j] * BASE^(k-1-j)  (mod 2^64), >>1 to fit the
+    positive LongType range."""
     n = len(s)
     if n < k:
         return []
-    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-    # polynomial rolling hash over a Mersenne modulus, vectorized:
-    # h[i] = sum_{j<k} codes[i+j] * BASE^(k-1-j) mod p
-    pw = pow(_BASE, k - 1, _MOD)
-    h = 0
-    out = np.empty(n - k + 1, dtype=np.int64)
+    np.seterr(over="ignore")
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    m = n - k + 1
+    out = np.zeros(m, dtype=np.uint64)
     for j in range(k):
-        h = (h * _BASE + int(codes[j])) % _MOD
-    out[0] = h
-    for i in range(1, n - k + 1):
-        h = ((h - int(codes[i - 1]) * pw) * _BASE + int(codes[i + k - 1])) % _MOD
-        out[i] = h
-    if len(out) <= w:
+        out += codes[j : j + m] * _BPOW[k - 1 - j]
+    out >>= np.uint64(1)
+    if m <= w:
         return [int(out.min())]
     # winnowing: min of each length-w window (robust variant: record each
     # distinct (hash) once when it becomes the window minimum)
     from numpy.lib.stride_tricks import sliding_window_view
 
     mins = sliding_window_view(out, w).min(axis=1)
-    return np.unique(mins).tolist()
+    return np.unique(mins).astype(np.int64).tolist()
 
 
 def fingerprint_udf(k: int, window: int):

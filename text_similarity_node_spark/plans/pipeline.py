@@ -63,8 +63,6 @@ class NearDupPipeline:
 
     # -- ledger helpers ------------------------------------------------------
 
-    _METRICS_SCHEMA = None  # built lazily (pyarrow import at call time)
-
     def _log(self, stage: str, rows_in: int, rows_out: int, dropped: int = 0,
              detail: str = "") -> None:
         import pyarrow as pa
@@ -124,7 +122,16 @@ class NearDupPipeline:
 
     def _stage(self, name: str, build, rows_in_df: DataFrame | None = None) -> DataFrame:
         """Run-or-resume one stage: if the checkpoint exists for this config
-        hash, read it back; else build, persist, log."""
+        hash, read it back; else build, persist, log.  With
+        ``cfg.checkpoint_stages`` off, stage outputs stay as in-memory
+        persists (one fused DAG, no durable-store I/O — the scaling-bench
+        mode; resume is unavailable in that mode by construction)."""
+        if not self.cfg.checkpoint_stages:
+            out = build().persist()
+            n_in = rows_in_df.count() if rows_in_df is not None else -1
+            self._log(name, n_in, out.count())
+            self._lineage(name, input_desc=f"stage-input:{name}")
+            return out
         if self.catalog.exists(name, self.chash):
             out = self.catalog.read(name, self.chash)
             self._log(name, -1, out.count(), detail="resumed-from-checkpoint")
@@ -176,7 +183,13 @@ class NearDupPipeline:
 
         signatures = self._stage("signatures", build_signatures, rep_ids)
 
-        # Stage 2: LSH band candidates (salted, capped-with-metrics).
+        # Stage 2: LSH band candidates (salted, capped-with-metrics), with
+        # the signature-agreement prefilter FUSED into the stage: the raw
+        # band join emits a quadratic noise mass on self-similar corpora
+        # (46.7M pairs for 200k clips measured) and checkpointing it makes
+        # the stage disk-bound — the write doesn't parallelize with cores.
+        # Prefiltered pairs (est set-J >= threshold - margin) are what any
+        # downstream consumer can use; the margin is logged, never silent.
         def build_lsh_pairs():
             bands = minhash.explode_bands(signatures, "clip_id", "minhash", cfg)
             pairs, band_metrics = lsh.candidate_pairs(bands, cfg)
@@ -192,6 +205,11 @@ class NearDupPipeline:
             self._log(
                 "lsh_band_audit", -1, -1, dropped=int(dropped),
                 detail=f"salted_keys={int(salted)}",
+            )
+            pairs = minhash.prefilter_candidates(pairs, signatures, cfg)
+            self._log(
+                "lsh_prefilter", -1, -1,
+                detail=f"fused; margin={cfg.minhash_prefilter_margin}",
             )
             return pairs.withColumn("source", F.lit("minhash_lsh"))
 
@@ -234,19 +252,20 @@ class NearDupPipeline:
         else:
             sub_pairs = spark.createDataFrame([], "id1 string, id2 string, source string")
 
-        # Stage 5: verify — dedupe the union, join transcripts back, exact
-        # multiset-Jaccard JVM-side.  Each pair verified exactly once.
+        # Stage 5: verify — dedupe the union, prefilter, join transcripts
+        # back, exact multiset-Jaccard JVM-side.  Each pair verified once.
+        # The agreement prefilter re-runs over the union because simhash /
+        # containment pairs haven't seen it: any pair whose estimated set-J
+        # sits margin below the verify threshold fails the exact Jaccard
+        # verify anyway (containment pairs are Jaccard-verified like all
+        # edges — the final metric IS multiset Jaccard), so dropping them
+        # before the gram join only removes doomed work (logged, margined).
         def build_verified():
             cand = (
                 lsh_pairs.unionByName(sim_pairs).unionByName(sub_pairs)
                 .groupBy("id1", "id2")
                 .agg(F.array_join(F.collect_set("source"), ",").alias("sources"))
-            )
-            # cheap signature-agreement prefilter: pairs whose estimated
-            # set-Jaccard is >4 sigma below the verify threshold cannot
-            # pass the exact verify — drop them before the gram join
-            # (measured 15.1M -> ~20k candidates on the bench corpus)
-            cand = cand.persist()  # consumed by the count AND the prefilter
+            ).persist()
             n_before = cand.count()
             cand = minhash.prefilter_candidates(cand, signatures, cfg).persist()
             n_after = cand.count()
@@ -258,7 +277,11 @@ class NearDupPipeline:
             docs = rep_clips.select(
                 "clip_id", _tokens_col(cfg).alias("tokens")
             )
-            passed = verify.verify_pairs_multiset_jaccard(
+            # array-merge shape: prefiltered candidate sets are small
+            # relative to docs x grams, so the shuffle-free sorted-array
+            # merge beats the inverted-index join (which shuffles every
+            # pair x gram row; see verify.py for measurements)
+            passed = verify.verify_pairs_multiset_jaccard_arrays(
                 cand, docs, "clip_id", "tokens", cfg.verify_threshold
             )
             return passed.join(cand.select("id1", "id2", "sources"), ["id1", "id2"])

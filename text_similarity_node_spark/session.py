@@ -43,8 +43,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("TSN_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         # signature tables (1 KiB/row) up to ~250k rows should broadcast in
-        # the prefilter joins — at 64 MB the 7M-pair candidate table was the
-        # side being shuffled twice instead
+        # the prefilter joins — at 64 MB the multi-hundred-MB candidate
+        # table was the side being shuffled twice instead.  512 MB was
+        # measured WORSE: collecting a 343 MB table to the driver for a
+        # broadcast is single-threaded and cost more than the shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
     )
     iceberg_jars = os.environ.get("TSN_ICEBERG_JARS")

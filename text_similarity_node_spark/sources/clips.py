@@ -29,12 +29,30 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_VOCAB = (
+_BASE_VOCAB = (
     "the quick brown fox jumps over lazy dog pack my box with five dozen "
     "liquor jugs how vexingly daft zebras audio clip speech transcript "
     "signal noise sample rate channel frame buffer codec stream segment "
     "window overlap spectrum filter phase amplitude frequency pitch tone"
 ).split()
+
+# Deterministic pseudo-word expansion to ~2000 types.  A 40-word vocabulary
+# gives UNRELATED transcripts trigram set-Jaccard ~0.34 (p99 0.52) — every
+# pair of documents looks like a near-duplicate, which no real speech/web
+# corpus does, and the LSH noise mass grows quadratically.  At ~2000 types
+# cross-pair similarity collapses to realistic noise while planted
+# mutations keep true dup pairs at J ~0.8.
+_SYLLABLES = [
+    "ba", "do", "ki", "lu", "mo", "ne", "pa", "ri",
+    "su", "ta", "ve", "zo", "cha", "el", "fi", "gu",
+]
+# i -> (i * odd) mod 4096 is a bijection, so all 1960 three-syllable words
+# are distinct (16^3 = 4096 possible)
+_VOCAB = _BASE_VOCAB + [
+    _SYLLABLES[(x >> 8) & 15] + _SYLLABLES[(x >> 4) & 15] + _SYLLABLES[x & 15]
+    for i in range(1960)
+    for x in [(i * 2654435761) % 4096]
+]
 
 _BOILERPLATE = "this recording is provided for research purposes only"
 
