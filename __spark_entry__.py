@@ -653,7 +653,7 @@ def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", C.char_ngrams(F.col("text"), cfg.ngram_size).alias("tokens")
     )
     from text_similarity_node_spark.operators.verify import (
-        verify_pairs_multiset_jaccard,
+        verify_pairs_multiset_jaccard_arrays,
     )
 
     sig = minhash.with_minhash(docs, "tokens", cfg).persist()
@@ -666,7 +666,9 @@ def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash.prefilter_candidates(
         pairs, sig.select("doc_id", "minhash"), cfg, id_col="doc_id"
     )
-    verified = verify_pairs_multiset_jaccard(
+    # array-merge verify (exact-equal to the inverted-index shape, proven
+    # by direct comparison; see operators/verify.py for when each wins)
+    verified = verify_pairs_multiset_jaccard_arrays(
         pairs, docs, "doc_id", "tokens", cfg.verify_threshold
     )
     return verified.select(
