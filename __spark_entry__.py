@@ -1171,6 +1171,72 @@ def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_char_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-mode cosine (reference kernel #9's ASCII fork,
+    vector_based.cpp:161-252: per-character frequency vectors).  Same
+    inverted-index shape as q24 with 1-grams: cos = dot / (||a||·||b||)
+    over char counts.  One shuffle on the character key."""
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    )
+    cc = docs.filter(F.col("ch") != "").groupBy("doc_id", "lang", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ssq = cc.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("ssq"))
+    cc = cc.join(ssq, "doc_id")
+    a, b = cc.alias("a"), cc.alias("b")
+    stats = (
+        a.join(
+            b,
+            (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.first(F.col("a.ssq")).alias("ssq1"),
+            F.first(F.col("b.ssq")).alias("ssq2"),
+        )
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("ssq1").cast("double")) * F.sqrt(F.col("ssq2").cast("double"))
+    )
+    cos = F.least(F.greatest(cos, F.lit(0.0)), F.lit(1.0))
+    return (
+        stats.select("doc_id1", "doc_id2", F.round(cos, 6).alias("char_cos_sim"))
+        .filter(F.col("char_cos_sim") >= 0.995)
+    )
+
+
+_Q30_SQL = """
+WITH chars AS (
+  SELECT doc_id, lang, substring(text, i, 1) AS ch, count(*) AS c
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)
+  GROUP BY doc_id, lang, substring(text, i, 1)
+),
+ssq AS (SELECT doc_id, sum(c * c) AS ssq FROM chars GROUP BY doc_id),
+stats AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, sum(a.c * b.c) AS dot
+  FROM chars a JOIN chars b
+    ON a.ch = b.ch AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_id1, s.doc_id2,
+       round(least(greatest(s.dot::DOUBLE / (sqrt(q1.ssq::DOUBLE) * sqrt(q2.ssq::DOUBLE)), 0.0), 1.0), 6) AS char_cos_sim
+FROM stats s
+JOIN ssq q1 ON q1.doc_id = s.doc_id1
+JOIN ssq q2 ON q2.doc_id = s.doc_id2
+WHERE least(greatest(s.dot::DOUBLE / (sqrt(q1.ssq::DOUBLE) * sqrt(q2.ssq::DOUBLE)), 0.0), 1.0) >= 0.995
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1212,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_audio_rms": q27_audio_rms,
         "q28_exact_dedup_canonical": q28_exact_dedup_canonical,
         "q29_embedding_neardup": q29_embedding_neardup,
+        "q30_char_cosine_pairs": q30_char_cosine_pairs,
     }
 
 
@@ -1240,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "q26_jaro_pairs": _Q26_SQL,
         "q27_audio_rms": _Q27_SQL,
         "q28_exact_dedup_canonical": _Q28_SQL,
+        "q30_char_cosine_pairs": _Q30_SQL,
         # q16-q19 and q29 intentionally have no oracle: probabilistic candidate
         # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks and pytest
