@@ -807,9 +807,12 @@ WHERE m1.lang = m2.lang AND abs(m1.n_chars - m2.n_chars) <= {band}
 
 
 def q20_multiset_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dice / Overlap / Tversky(0.5,0.5) / Jaccard (reference kernels
-    #5-#8, multiset NGRAM semantics) in one pass from shared inverted-index
-    pair stats."""
+    """Dice / Overlap / Tversky / Jaccard (reference kernels #5-#8,
+    multiset NGRAM semantics) in one pass from shared inverted-index pair
+    stats.  Tversky at (0.5,0.5) plus the asymmetric (1,0) and (0,1)
+    settings the reference's own differential suite sweeps
+    (tests/verify_algorithms.py:568-585); note tversky(1,0) = isz/t1 and
+    tversky(0,1) = isz/t2 — direction matters, which is the point."""
     s = _gram_pair_stats(spark, sf_dir, len_band=40)
     isz = F.col("isz").cast("double")
     t1, t2 = F.col("t1").cast("double"), F.col("t2").cast("double")
@@ -823,6 +826,8 @@ def q20_multiset_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 isz / (isz + 0.5 * (t1 - isz) + 0.5 * (t2 - isz)), 6
             ).alias("tversky"),
+            F.round(isz / t1, 6).alias("tversky_10"),
+            F.round(isz / t2, 6).alias("tversky_01"),
         )
         .filter(F.col("dice") >= 0.7)
     )
@@ -836,7 +841,9 @@ SELECT doc_id1, doc_id2,
        round(isz::DOUBLE / (t1 + t2 - isz), 6) AS jaccard,
        round(2.0 * isz / (t1 + t2), 6) AS dice,
        round(isz::DOUBLE / least(t1, t2), 6) AS overlap,
-       round(isz::DOUBLE / (isz + 0.5 * (t1 - isz) + 0.5 * (t2 - isz)), 6) AS tversky
+       round(isz::DOUBLE / (isz + 0.5 * (t1 - isz) + 0.5 * (t2 - isz)), 6) AS tversky,
+       round(isz::DOUBLE / t1, 6) AS tversky_10,
+       round(isz::DOUBLE / t2, 6) AS tversky_01
 FROM pair_stats
 WHERE 2.0 * isz / (t1 + t2) >= 0.7
 """
