@@ -312,26 +312,44 @@ def q06_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(C.word_tokens(F.col("text"))).alias("n_words"),
         F.length("text").alias("n_chars_real"),
     )
+    # Averages are emitted as micro-scaled BIGINTs computed with pure integer
+    # arithmetic — (sum*2e6 + n) div (2n) is round-half-up of sum*1e6/n with no
+    # float in the chain, so the DuckDB oracle hash matches bit-for-bit
+    # (F.round(avg, 6) vs DuckDB round() can land 1 ulp apart on doubles).
+    agg = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_chars_real").alias("total_chars"),
+    )
     return (
-        toks.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_words").alias("total_words"),
-            F.round(F.avg("n_words"), 6).alias("avg_words"),
-            F.round(F.avg("n_chars_real"), 6).alias("avg_chars"),
+        agg.select(
+            "lang",
+            "n_docs",
+            "total_words",
+            F.expr(
+                "(total_words * 2000000 + n_docs) div (2 * n_docs)"
+            ).alias("avg_words_micro"),
+            F.expr(
+                "(total_chars * 2000000 + n_docs) div (2 * n_docs)"
+            ).alias("avg_chars_micro"),
         )
         .orderBy("lang")
     )
 
 
 _Q06_SQL = r"""
-SELECT lang,
-       count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, '\w+'))) AS total_words,
-       round(avg(len(regexp_extract_all(text, '\w+'))), 6) AS avg_words,
-       round(avg(length(text)), 6) AS avg_chars
-FROM documents
-GROUP BY lang
+WITH agg AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         sum(len(regexp_extract_all(text, '\w+'))) AS total_words,
+         sum(length(text)) AS total_chars
+  FROM documents
+  GROUP BY lang
+)
+SELECT lang, n_docs, total_words,
+       (total_words * 2000000 + n_docs) // (2 * n_docs) AS avg_words_micro,
+       (total_chars * 2000000 + n_docs) // (2 * n_docs) AS avg_chars_micro
+FROM agg
 ORDER BY lang
 """
 
@@ -926,33 +944,65 @@ WHERE length(a.text) >= 40 AND length(b.text) >= 40
 """
 
 
-def q23_damerau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Damerau-Levenshtein (OSA) verification kernel (reference #1) through
-    the Arrow-batched pandas UDF.  No SQL oracle: DuckDB's
-    damerau_levenshtein is the *unrestricted* variant (CA/ABC = 2) while
-    the reference computes OSA (= 3, levenshtein.cpp:365-421); parity is
-    covered by pytest goldens instead."""
-    from text_similarity_node_spark.config import Algorithm, AlgorithmConfig
-    from text_similarity_node_spark.functions.spark_udfs import similarity_udf
+# q23: planted adjacent transpositions.  Swap windows at 1-based positions
+# 5/17/29 (the i-th swap active when i < k, k = 1 + doc_id % 3).  The windows
+# are disjoint and separated by >= 10 untouched characters, so the OSA
+# distance (reference levenshtein.cpp:365-421) provably equals DuckDB's
+# *unrestricted* damerau_levenshtein on these pairs: the variants only
+# diverge when an optimal script edits inside a transposed pair (CA->ABC),
+# which requires overlapping edit windows; any cross-window indel shift must
+# resync with a second indel, costing >= 2 to save <= 2 transpositions.
+# That equality is what makes a real SQL oracle possible — the identical
+# expression below runs through Spark F.expr and DuckDB verbatim.
+_Q23_VARIANT_EXPR = (
+    "concat(substring(text, 1, 4), "
+    "concat(substring(text, 6, 1), substring(text, 5, 1)), "
+    "substring(text, 7, 10), "
+    "case when doc_id % 3 >= 1 then concat(substring(text, 18, 1), substring(text, 17, 1)) "
+    "else substring(text, 17, 2) end, "
+    "substring(text, 19, 10), "
+    "case when doc_id % 3 >= 2 then concat(substring(text, 30, 1), substring(text, 29, 1)) "
+    "else substring(text, 29, 2) end, "
+    "substring(text, 31))"
+)
 
-    dl = similarity_udf(AlgorithmConfig(algorithm=Algorithm.DAMERAU_LEVENSHTEIN))
-    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars", "text")
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (F.col("a.doc_id") % 11 == 0)
-        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5),
+
+def q23_damerau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damerau-Levenshtein (OSA) verification kernel (reference #1,
+    levenshtein.cpp:365-421) through the Arrow-batched pandas UDF, run over
+    planted transposition near-dups (k = 1 + doc_id%3 adjacent swaps at
+    separated positions — see _Q23_VARIANT_EXPR for why OSA == unrestricted
+    DL on this construction, which is what admits the DuckDB oracle).
+    Integer distances are emitted so the value hash is float-free.
+    OSA-vs-unrestricted *divergence* (CA/ABC) stays covered by pytest
+    goldens."""
+    from text_similarity_node_spark.config import Algorithm, AlgorithmConfig
+    from text_similarity_node_spark.functions.spark_udfs import distance_udf
+
+    dl = distance_udf(AlgorithmConfig(algorithm=Algorithm.DAMERAU_LEVENSHTEIN))
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 30)
+        .select("doc_id", "text", F.expr(_Q23_VARIANT_EXPR).alias("variant"))
     )
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_id1"),
-            F.col("b.doc_id").alias("doc_id2"),
-            F.round(dl(F.col("a.text"), F.col("b.text")), 6).alias("dl_sim"),
-        )
-        .filter(F.col("dl_sim") >= 0.35)
+    return docs.select(
+        "doc_id",
+        dl(F.col("text"), F.col("variant")).cast("bigint").alias("dl_dist"),
+        F.greatest(F.length("text"), F.length("variant")).cast("bigint").alias("max_len"),
     )
+
+
+_Q23_SQL = f"""
+WITH v AS (
+  SELECT doc_id, text, {_Q23_VARIANT_EXPR} AS variant
+  FROM documents
+  WHERE length(text) >= 30
+)
+SELECT doc_id,
+       damerau_levenshtein(text, variant) AS dl_dist,
+       greatest(length(text), length(variant)) AS max_len
+FROM v
+"""
 
 
 def q24_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1159,23 +1209,71 @@ FROM corpus ORDER BY doc_id
 """
 
 
+def _neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted near-dups: every vec_id % 9 == 0 gets a scaled
+    copy (x*2 — cosine and RHP bucket both scale-invariant, so recall is
+    guaranteed) at vec_id+1_000_000, and every vec_id % 13 == 0 an additive
+    noisy copy (x+0.002 per element — cos ≈ 0.99987 on these unit vectors,
+    varied per vector via its alignment with the ones direction) at
+    vec_id+2_000_000.  Pure IEEE +/* so Spark's transform() and DuckDB's
+    list_transform produce bit-identical variants."""
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scaled = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 2.0).alias("v"),
+    )
+    noisy = emb.filter(F.col("vec_id") % 13 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x + 0.002).alias("v"),
+    )
+    return emb.unionByName(scaled).unionByName(noisy)
+
+
+_NEARDUP_EMB_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+    FROM embeddings WHERE vec_id % 9 = 0
+    UNION ALL
+    SELECT vec_id + 2000000, list_transform(embedding::DOUBLE[], x -> x + 0.002)
+    FROM embeddings WHERE vec_id % 13 = 0
+"""
+
+
 def q29_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (operators/dedup.embedding_neardup):
     random-hyperplane bucket join with 1-bit multiprobe + exact cosine
-    filter.  No SQL oracle — bucket membership is model-defined; recall of
-    the RHP scheme vs exact top-k is measured in tests/test_ann.py.  The
-    exact-cosine threshold makes precision 1.0 by construction."""
+    filter, over the planted-near-dup corpus.  The brute-force DuckDB oracle
+    is exact because (a) the exact-cosine filter makes precision 1.0 by
+    construction, (b) planted pairs sit at cos >= 0.9998 while the max
+    natural pair is 0.513, so the 0.98 threshold has no boundary cases, and
+    (c) scaled copies share their source's bucket exactly and the 0.002
+    noise flips at most 1 of 8 hyperplane bits on this (deterministic,
+    seeded) corpus, within the 1-bit multiprobe's reach."""
     from text_similarity_node_spark.operators.dedup import embedding_neardup
 
-    emb = _load(spark, sf_dir, "embeddings")
-    pairs = embedding_neardup(
-        emb, "vec_id", "embedding", dim=64, threshold=0.95, n_bits=8
-    )
+    emb = _neardup_embeddings(spark, sf_dir)
+    pairs = embedding_neardup(emb, "vec_id", "v", dim=64, threshold=0.98, n_bits=8)
     return pairs.select(
         F.col("id1").alias("vec_id1"),
         F.col("id2").alias("vec_id2"),
-        F.round("cos_sim", 6).alias("cos_sim"),
+        F.round(F.col("cos_sim") * 1e6).cast("bigint").alias("cos_sim_micro"),
     )
+
+
+_Q29_SQL = f"""
+WITH corpus AS ({_NEARDUP_EMB_SQL}),
+scored AS (
+  SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT vec_id1, vec_id2, CAST(round(cos * 1000000) AS BIGINT) AS cos_sim_micro
+FROM scored WHERE cos >= 0.98
+"""
 
 
 def q30_char_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,13 +1407,15 @@ def oracle_sql() -> dict[str, str]:
         "q20_multiset_measures": _Q20_SQL,
         "q21_lnorm_distances": _Q21_SQL,
         "q22_hamming_prefix": _Q22_SQL,
+        "q23_damerau_pairs": _Q23_SQL,
         "q24_cosine_pairs": _Q24_SQL,
         "q25_chebyshev_pairs": _Q25_SQL,
         "q26_jaro_pairs": _Q26_SQL,
         "q27_audio_rms": _Q27_SQL,
         "q28_exact_dedup_canonical": _Q28_SQL,
+        "q29_embedding_neardup": _Q29_SQL,
         "q30_char_cosine_pairs": _Q30_SQL,
-        # q16-q19 and q29 intentionally have no oracle: probabilistic candidate
+        # q16-q19 intentionally have no oracle: probabilistic candidate
         # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks and pytest
         # covers recall/exactness (test_pipeline.py, test_ann.py).
