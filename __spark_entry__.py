@@ -172,23 +172,24 @@ WHERE 1.0 - levenshtein(a.text, b.text)::DOUBLE
 
 def q03_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based word Jaccard (reference kernel #5, WORD mode,
-    token_based.cpp:128-159) as a similarity join."""
+    token_based.cpp:128-159) as a similarity join, executed through the
+    exact prefix-filter join (operators/simjoin.py, recall 1.0 by
+    construction) grouped by language — never the quadratic same-lang
+    self-join: candidates come from rare shared prefix tokens + length
+    filter, so the plan survives a 100x scale-up where lang-keyed
+    cross-join (5 distinct keys) dies."""
+    from text_similarity_node_spark.operators.simjoin import prefix_filter_jaccard_join
+
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", "lang", C.word_tokens(F.col("text")).alias("toks")
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    pairs = a.join(
-        b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    pairs = prefix_filter_jaccard_join(
+        docs, "doc_id", "toks", threshold=0.9, group_cols=["lang"]
     )
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_id1"),
-            F.col("b.doc_id").alias("doc_id2"),
-            F.round(C.set_jaccard(F.col("a.toks"), F.col("b.toks")), 6).alias(
-                "word_jaccard"
-            ),
-        )
-        .filter(F.col("word_jaccard") >= 0.9)
+    return pairs.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        F.round(F.col("jaccard"), 6).alias("word_jaccard"),
     )
 
 

@@ -94,6 +94,7 @@ def bench_default():
     picks = [
         "q01_pricing_summary",
         "q02_levenshtein_pairs",
+        "q03_word_jaccard_pairs",
         "q05_exact_dedup",
         "q08_fingerprint",
         "q10_embedding_cosine_topk",

@@ -29,18 +29,38 @@ def prefix_filter_jaccard_join(
     id_col: str,
     tokens_col: str,
     threshold: float,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """df(id, tokens array<string>) -> pairs(id1, id2, jaccard) with
-    set-Jaccard >= threshold.  Exact (recall 1.0 by construction)."""
-    toks = df.select(
-        F.col(id_col).alias("rid"), F.array_distinct(F.col(tokens_col)).alias("toks")
-    ).withColumn("sz", F.size("toks"))
+    set-Jaccard >= threshold.  Exact (recall 1.0 by construction).
 
-    flat = toks.select("rid", "sz", F.explode("toks").alias("tok"))
-    freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ``group_cols`` (optional) restricts pairs to records sharing those
+    columns (a partitioned similarity join, e.g. same-language only): the
+    group keys join into both the frequency table and the candidate
+    equi-join, so cross-group candidates are never generated and token
+    frequencies — hence prefix selectivity — are per-group."""
+    groups = list(group_cols or [])
+    toks = df.select(
+        F.col(id_col).alias("rid"),
+        *groups,
+        F.array_distinct(F.col(tokens_col)).alias("toks"),
+    ).withColumn("sz", F.size("toks"))
+    # Materialize once: the plan below references `toks` four times (flat /
+    # both verify sides) and the prefix subtree twice (candidate self-join);
+    # without a cut Spark recomputes the tokenize+rank pipeline per branch
+    # (measured 34 s -> ~13 s at sf0.1).  localCheckpoint rather than
+    # persist: blocks are dropped by the ContextCleaner when the plan is
+    # GC'd, so a long driver session doesn't accrete executor storage the
+    # way an unmatched persist() does.
+    toks = toks.localCheckpoint(eager=False)
+
+    flat = toks.select("rid", "sz", *groups, F.explode("toks").alias("tok"))
+    freq = flat.groupBy("tok", *groups).agg(F.count(F.lit(1)).alias("df"))
     # canonical order: rarest token first, tie-broken by token value
+    # (per-group frequencies — pairs never cross groups, so the ordering
+    # only needs to be consistent within a group)
     ranked = (
-        flat.join(freq, "tok")
+        flat.join(freq, ["tok", *groups])
         .withColumn(
             "rank",
             F.row_number().over(
@@ -51,18 +71,22 @@ def prefix_filter_jaccard_join(
     # prefix length = sz - ceil(t*sz) + 1
     prefix = ranked.filter(
         F.col("rank") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("rid", "sz", "tok")
+    ).select("rid", "sz", *groups, "tok")
+    # second cut: the self-join would otherwise evaluate freq+window twice
+    prefix = prefix.localCheckpoint(eager=False)
 
     a, b = prefix.alias("a"), prefix.alias("b")
+    join_cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.rid") < F.col("b.rid"))
+        # length filter: |y| in [t*|x|, |x|/t] is necessary for jac >= t
+        & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+        & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz")))
+    )
+    for g in groups:
+        join_cond = join_cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.rid") < F.col("b.rid"))
-            # length filter: |y| in [t*|x|, |x|/t] is necessary for jac >= t
-            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
-            & (F.col("a.sz") >= F.ceil(F.lit(threshold) * F.col("b.sz"))),
-        )
+        a.join(b, join_cond)
         .select(F.col("a.rid").alias("id1"), F.col("b.rid").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
