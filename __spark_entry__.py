@@ -675,15 +675,20 @@ def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_pairs_multiset_jaccard_arrays,
     )
 
-    sig = minhash.with_minhash(docs, "tokens", cfg).persist()
+    sig = (
+        minhash.with_minhash(docs, "tokens", cfg)
+        .withColumn("rep_bound", minhash.rep_bound_col(F.col("tokens")))
+        .localCheckpoint(eager=False)  # ContextCleaner-managed, no persist leak
+    )
     bands = minhash.explode_bands(sig.select("doc_id", "minhash"), "doc_id", "minhash", cfg)
     pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col="doc_id")
-    # signature-agreement prefilter before the gram join: candidates whose
-    # estimated set-Jaccard sits >5 sigma below the verify threshold can't
-    # pass the exact multiset verify — dropping them first shrinks the
-    # inverted-index join's input (the dominant cost at every scale).
+    # multiset-sound signature-agreement prefilter before the gram join:
+    # the set-space gate is scaled by each pair's repetition bound
+    # (J_multi <= min(m1,m2) * J_set), so dropped candidates provably
+    # cannot pass the exact multiset verify (margin covers estimator
+    # variance) — shrinking the verify input is the dominant win at scale.
     pairs = minhash.prefilter_candidates(
-        pairs, sig.select("doc_id", "minhash"), cfg, id_col="doc_id"
+        pairs, sig.select("doc_id", "minhash", "rep_bound"), cfg, id_col="doc_id"
     )
     # array-merge verify (exact-equal to the inverted-index shape, proven
     # by direct comparison; see operators/verify.py for when each wins)

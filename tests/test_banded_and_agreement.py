@@ -78,7 +78,13 @@ def test_signature_agreement_col_matches_udf(spark):
 
 def test_minhash_agreement_col_matches_positional_on_signatures(spark):
     """On REAL minhash signatures (distinct splitmix64 slot values) the
-    value-intersection estimator equals positional agreement."""
+    value-intersection estimator equals positional agreement.
+
+    PRECONDITION under test: signatures contain no duplicate slot values —
+    real signatures satisfy this, the all-(-1) sentinel does not (its
+    value-intersection score is 1/k vs positional 1.0).  Sentinels bypass
+    the estimator entirely (prefilter_candidates passes them through; see
+    test_prefilter_sentinel_bypass)."""
     from text_similarity_node_spark.config import PipelineConfig
     from text_similarity_node_spark.operators.minhash import (
         minhash_agreement_col,
@@ -125,3 +131,52 @@ def test_synth_pcm_deterministic_and_decodable(spark):
     # a second invocation produces byte-identical payloads
     rows2 = {r["id"]: bytes(r["bytes"]) for r in df.collect()}
     assert rows == rows2
+
+
+def _prefilter_fixture(spark, docs_rows, pair_rows):
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators import minhash
+
+    cfg = PipelineConfig(verify_threshold=0.9)
+    docs = spark.createDataFrame(docs_rows, "clip_id string, tokens array<string>")
+    sig = minhash.with_minhash(docs, "tokens", cfg).withColumn(
+        "rep_bound", minhash.rep_bound_col(F.col("tokens"))
+    )
+    pairs = spark.createDataFrame(pair_rows, "id1 string, id2 string")
+    kept = minhash.prefilter_candidates(
+        pairs, sig.select("clip_id", "minhash", "rep_bound"), cfg
+    )
+    return {(r.id1, r.id2) for r in kept.collect()}
+
+
+def test_prefilter_keeps_repeated_gram_true_positive(spark):
+    """Regression for the set-vs-multiset gap: A={a x100,b}, B={a x100,c}
+    has multiset J = 100/102 ~ 0.98 (passes verify at 0.9) but set J = 1/3
+    — a flat set-space gate (0.9 - 0.25 = 0.65) silently drops the true
+    positive.  The rep_bound-scaled gate (0.9/100 - 0.25 < 0) must keep
+    it."""
+    a = ["a"] * 100 + ["b"]
+    b = ["a"] * 100 + ["c"]
+    kept = _prefilter_fixture(spark, [("A", a), ("B", b)], [("A", "B")])
+    assert ("A", "B") in kept
+
+
+def test_prefilter_still_drops_unrelated_pairs(spark):
+    """Repeat-free unrelated docs (rep_bound 1, true set-J 0) must still be
+    dropped — the scaling must not neuter the filter."""
+    a = [f"x{i}" for i in range(50)]
+    b = [f"y{i}" for i in range(50)]
+    kept = _prefilter_fixture(spark, [("A", a), ("B", b)], [("A", "B")])
+    assert kept == set()
+
+
+def test_prefilter_sentinel_bypass(spark):
+    """Empty-token docs carry the all-(-1) sentinel signature, which the
+    value-intersection estimator mis-scores (1/k); such pairs must bypass
+    the prefilter and reach the exact verify."""
+    kept = _prefilter_fixture(
+        spark,
+        [("A", []), ("B", ["a", "b", "c"]), ("C", [])],
+        [("A", "B"), ("A", "C")],
+    )
+    assert kept == {("A", "B"), ("A", "C")}

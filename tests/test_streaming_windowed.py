@@ -1,7 +1,10 @@
-"""Watermarked windowed streaming rollup == batch rollup on the same data."""
+"""Append-mode watermarked streaming rollup: emitted == finalized batch
+windows; late events are dropped; pending windows flush when the watermark
+advances."""
 
 from __future__ import annotations
 
+import datetime
 import os
 import tempfile
 
@@ -26,7 +29,14 @@ def dirs():
         }
 
 
-def test_streaming_rollup_matches_batch(spark, dirs):
+def _read_out(spark, path):
+    return {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_streaming_rollup_append_mode(spark, dirs):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
         "ts", "event_type", "value"
     )
@@ -39,16 +49,62 @@ def test_streaming_rollup_matches_batch(spark, dirs):
     run_available_now(
         spark, dirs["src"], events.schema, dirs["out"], dirs["ck"]
     )
-    got = {
+    got = _read_out(spark, dirs["out"])
+
+    batch = windowed_event_counts(events).collect()
+    max_ts = events.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    wm = max_ts - datetime.timedelta(minutes=10)
+    finalized = {
         (r.window_start, r.event_type): (r.n_events, r.sum_value)
-        for r in spark.read.parquet(dirs["out"]).collect()
+        for r in batch
+        if r.window_end <= wm
     }
-    want = {
+    pending = {k for r in batch if r.window_end > wm
+               for k in [(r.window_start, r.event_type)]}
+    # append mode emits exactly the finalized windows, with batch values
+    assert got == finalized
+    assert len(finalized) > 0
+    # the trailing (pending) windows are NOT emitted yet — that's the
+    # honest price of real watermark semantics in a drain-style run
+    assert pending and all(k not in got for k in pending)
+
+
+def test_late_event_is_dropped_and_pending_windows_flush(spark, dirs):
+    """Continues the previous drain's checkpoint: one event far older than
+    the watermark must not change any emitted window, while a new fresh
+    event advances the watermark and flushes the previously-pending
+    windows."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "ts", "event_type", "value"
+    )
+    before = _read_out(spark, dirs["out"])
+    min_ts, max_ts = events.agg(
+        F.min(F.col("ts").cast("timestamp")), F.max(F.col("ts").cast("timestamp"))
+    ).first()
+    late = [(min_ts + datetime.timedelta(minutes=30), "late_type", 1.0)]
+    fresh = [(max_ts + datetime.timedelta(hours=3), "fresh_type", 2.0)]
+    spark.createDataFrame(late + fresh, events.schema).write.mode("append").parquet(
+        dirs["src"]
+    )
+    run_available_now(
+        spark, dirs["src"], events.schema, dirs["out"], dirs["ck"]
+    )
+    after = _read_out(spark, dirs["out"])
+    # the late event's window was finalized long ago: dropped, not re-emitted
+    assert not any(k[1] == "late_type" for k in after)
+    # previously emitted windows unchanged
+    assert all(after[k] == v for k, v in before.items())
+    # the fresh event advanced the watermark past the old trailing windows:
+    # they are now appended, and match the batch rollup
+    batch_all = {
         (r.window_start, r.event_type): (r.n_events, r.sum_value)
         for r in windowed_event_counts(events).collect()
     }
-    assert got == want
-    assert len(want) > 0
+    newly = {k: v for k, v in after.items() if k not in before}
+    assert newly
+    for k, v in newly.items():
+        if k[1] not in ("late_type", "fresh_type"):
+            assert batch_all[k] == v
 
 
 def test_watermark_present_in_streaming_plan(spark, dirs):

@@ -114,14 +114,13 @@ class PipelineConfig:
     lsh_rows: int = 5
     minhash_seed: int = 42
     # Candidate prefilter: drop pairs whose signature-agreement estimate of
-    # set-Jaccard is below verify_threshold - margin.  The margin covers
-    # BOTH the multiset-vs-set Jaccard gap (the verify threshold is
-    # multiset; measured set-J of true multiset-J>=0.8 pairs dips to ~0.73
-    # on repetitive text) AND estimator noise (sigma = sqrt(J(1-J)/k)
-    # ~= 0.04 at k=125).  0.25 puts the cutoff ~4.5 sigma below the worst
-    # observed true pair and ~2.5 sigma above worst-case noise (set-J
-    # ~0.45); 0 disables.  Pairs killed here cannot plausibly pass the
-    # exact multiset verify.
+    # set-Jaccard is below verify_threshold / rep_bound - margin, where
+    # rep_bound = min over the pair of (|tokens| - |distinct tokens| + 1)
+    # upper-bounds the multiset-vs-set Jaccard gap exactly
+    # (J_multi <= min(m1,m2) * J_set — see minhash.prefilter_candidates),
+    # so the margin only needs to cover MinHash estimator noise
+    # (sigma = sqrt(J(1-J)/k) ~= 0.04 at k=125).  0.25 is ~5.5 sigma —
+    # pairs killed here cannot pass the exact multiset verify; 0 disables.
     minhash_prefilter_margin: float = 0.25
     # Exact-duplicate canonicalization: group byte-identical transcripts
     # before candidate generation (identical strings are similarity 1.0 by

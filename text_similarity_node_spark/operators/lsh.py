@@ -40,9 +40,11 @@ def candidate_pairs(
     key = ["band_id", "band_hash"]
 
     # bands is consumed by the counts aggregate and (twice) by the salted
-    # self-join; the persist keeps the upstream signature decode from
-    # re-running per consumer.
-    bands = bands.persist()
+    # self-join; the cut keeps the upstream signature decode from
+    # re-running per consumer.  localCheckpoint (not persist): blocks are
+    # released by the ContextCleaner when the plan is GC'd, so repeated
+    # calls in a long driver session don't accrete executor storage.
+    bands = bands.localCheckpoint(eager=False)
     counts = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("n_rows"))
     counts = counts.withColumn(
         "disposition",

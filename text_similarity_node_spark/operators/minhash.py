@@ -124,12 +124,28 @@ def minhash_agreement_col(s1, s2, k: int):
     Valid because slot values are splitmix64 outputs: two slots agree in
     value iff they agree positionally up to a ~2^-63 collision — each slot
     uses a distinct seed, so equal values across different slots don't
-    occur in practice.  array_intersect is a native hash-set expression
+    occur in practice.  PRECONDITION: signatures must not contain duplicate
+    slot values — real signatures satisfy this, but the all-(-1) sentinel
+    for empty-token docs does NOT (array_intersect's set semantics collapse
+    it to one element, scoring sentinel-vs-sentinel 1/k where the
+    positional estimator says 1.0); callers special-case sentinels
+    (prefilter_candidates passes them through to the exact verify).
+    array_intersect is a native hash-set expression
     (no per-element lambda interpretation, no struct-array allocation):
     measured on a 7.4M-pair candidate set, 34.2 s @ local[8] -> 12.3 s @
     local[32] (scales 2.8x) vs zip_with's 18.1 s -> 14.4 s (latency-flat
     and slower at full parallelism)."""
     return F.size(F.array_intersect(s1, s2)).cast("double") / float(k)
+
+
+def rep_bound_col(tokens_col) -> Column:
+    """Upper bound on a document's max gram multiplicity:
+    ``|tokens| - |distinct(tokens)| + 1`` (native JVM expressions, no
+    shuffle).  Used to make the set-space prefilter sound for the MULTISET
+    verify metric — see prefilter_candidates."""
+    return (
+        F.size(tokens_col) - F.size(F.array_distinct(tokens_col)) + F.lit(1)
+    ).cast("int")
 
 
 def prefilter_candidates(
@@ -138,28 +154,57 @@ def prefilter_candidates(
     cfg: PipelineConfig,
     id_col: str = "clip_id",
 ) -> DataFrame:
-    """Drop candidate pairs whose estimated set-Jaccard (signature slot
-    agreement) is below verify_threshold - margin.  The exact verify would
-    reject them anyway; this avoids joining their gram postings."""
+    """Drop candidate pairs that provably cannot pass the exact MULTISET-
+    Jaccard verify, using the estimated SET-Jaccard (signature slot
+    agreement).
+
+    The two metrics diverge when shared grams repeat: for multisets A, B
+    with per-gram counts c, J_multi = sum(min c)/sum(max c) can exceed
+    J_set without bound (A={a x100,b}, B={a x100,c}: 0.98 vs 0.33).  The
+    sound per-pair bound: every common gram contributes at most
+    min(m1, m2) to sum(min c), where m_i is doc i's max gram multiplicity,
+    and sum(max c) >= |set union| — so J_multi <= min(m1, m2) * J_set,
+    i.e. J_set >= threshold / min(m1, m2) is necessary.  The gate scales
+    by the per-pair repetition bound (``rep_bound`` column on signatures,
+    from rep_bound_col; missing column = bound 1, the repeat-free case),
+    with the margin still covering MinHash estimator variance
+    (std ~ 0.5/sqrt(k)).  Sentinel (empty-token) signatures carry no
+    information and bypass the filter — the exact verify decides them.
+    Lossless-by-construction is asserted by the repeated-gram regression
+    test in tests/test_minhash.py."""
     if cfg.minhash_prefilter_margin <= 0:
         return pairs
-    min_est = cfg.verify_threshold - cfg.minhash_prefilter_margin
-    s1 = signatures.select(
-        F.col(id_col).alias("id1"), F.col("minhash").alias("_sig1")
+    has_rb = "rep_bound" in signatures.columns
+    cols1 = [F.col(id_col).alias("id1"), F.col("minhash").alias("_sig1")]
+    cols2 = [F.col(id_col).alias("id2"), F.col("minhash").alias("_sig2")]
+    if has_rb:
+        cols1.append(F.col("rep_bound").alias("_rb1"))
+        cols2.append(F.col("rep_bound").alias("_rb2"))
+    s1 = signatures.select(*cols1)
+    s2 = signatures.select(*cols2)
+    rb = (
+        F.greatest(F.least(F.col("_rb1"), F.col("_rb2")), F.lit(1))
+        if has_rb
+        else F.lit(1)
     )
-    s2 = signatures.select(
-        F.col(id_col).alias("id2"), F.col("minhash").alias("_sig2")
+    min_est = (
+        F.lit(cfg.verify_threshold) / rb.cast("double")
+        - F.lit(cfg.minhash_prefilter_margin)
     )
-    return (
+    sentinel = (F.element_at(F.col("_sig1"), 1) == -1) | (
+        F.element_at(F.col("_sig2"), 1) == -1
+    )
+    out = (
         pairs.join(s1, "id1")
         .join(s2, "id2")
         .withColumn(
             "_est",
             minhash_agreement_col(F.col("_sig1"), F.col("_sig2"), cfg.minhash_k),
         )
-        .filter(F.col("_est") >= min_est)
+        .filter(sentinel | (F.col("_est") >= min_est))
         .drop("_sig1", "_sig2", "_est")
     )
+    return out.drop("_rb1", "_rb2") if has_rb else out
 
 
 def band_hashes(sig_col: Column, bands: int, rows: int) -> Column:

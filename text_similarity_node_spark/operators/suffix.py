@@ -66,6 +66,13 @@ def _rolling_fingerprints(s: str, k: int, w: int) -> list[int]:
 
 
 def fingerprint_udf(k: int, window: int):
+    if k < 1 or k > _MAX_GRAM:
+        raise ValueError(
+            f"fingerprint gram length k={k} out of range [1, {_MAX_GRAM}] "
+            "(_BPOW table size) — raise _MAX_GRAM if longer overlap grams "
+            "are needed"
+        )
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def udf(texts: pd.Series) -> pd.Series:
         return pd.Series(
@@ -104,8 +111,9 @@ def containment_candidates(
     ).distinct()
     if return_metrics:
         # the metrics aggregate and the pair join both consume fps; without
-        # this the fingerprint UDF runs twice
-        fps = fps.persist()
+        # this the fingerprint UDF runs twice.  localCheckpoint so the
+        # blocks are ContextCleaner-managed (no unmatched-persist leak).
+        fps = fps.localCheckpoint(eager=False)
     counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     # anti-join against the (small) hot set — broadcasting the keep-set
     # would ship every distinct fingerprint to every executor

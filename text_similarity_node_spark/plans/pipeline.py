@@ -179,7 +179,12 @@ class NearDupPipeline:
             )
             sig = minhash.with_minhash(docs, "tokens", cfg)
             sig = simhash.with_simhash(sig, "tokens")
-            return sig.select("clip_id", "minhash", "simhash")
+            # rep_bound makes the set-space prefilter sound for the
+            # multiset verify (see minhash.prefilter_candidates)
+            return sig.select(
+                "clip_id", "minhash", "simhash",
+                minhash.rep_bound_col(F.col("tokens")).alias("rep_bound"),
+            )
 
         signatures = self._stage("signatures", build_signatures, rep_ids)
 
@@ -188,7 +193,8 @@ class NearDupPipeline:
         # band join emits a quadratic noise mass on self-similar corpora
         # (46.7M pairs for 200k clips measured) and checkpointing it makes
         # the stage disk-bound — the write doesn't parallelize with cores.
-        # Prefiltered pairs (est set-J >= threshold - margin) are what any
+        # Prefiltered pairs (est set-J >= threshold / rep_bound - margin,
+        # multiset-sound — see minhash.prefilter_candidates) are what any
         # downstream consumer can use; the margin is logged, never silent.
         def build_lsh_pairs():
             bands = minhash.explode_bands(signatures, "clip_id", "minhash", cfg)
@@ -255,11 +261,11 @@ class NearDupPipeline:
         # Stage 5: verify — dedupe the union, prefilter, join transcripts
         # back, exact multiset-Jaccard JVM-side.  Each pair verified once.
         # The agreement prefilter re-runs over the union because simhash /
-        # containment pairs haven't seen it: any pair whose estimated set-J
-        # sits margin below the verify threshold fails the exact Jaccard
-        # verify anyway (containment pairs are Jaccard-verified like all
-        # edges — the final metric IS multiset Jaccard), so dropping them
-        # before the gram join only removes doomed work (logged, margined).
+        # containment pairs haven't seen it.  The gate is multiset-sound:
+        # it scales the set-space threshold by each pair's repetition bound
+        # (J_multi <= min(m1,m2) * J_set, see minhash.prefilter_candidates),
+        # so a pair it drops cannot pass the exact multiset verify — up to
+        # MinHash estimator variance, which the margin covers (logged).
         def build_verified():
             cand = (
                 lsh_pairs.unionByName(sim_pairs).unionByName(sub_pairs)

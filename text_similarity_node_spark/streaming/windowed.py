@@ -3,14 +3,26 @@
 The engine's Structured Streaming surface beyond the foreachBatch dedup
 (incremental.py): a classic event-time rollup with late-data handling —
 ``readStream`` source -> event-time window + watermark -> stateful
-aggregation.  Spark manages the window state and drops events later than
-the watermark; the output of an availableNow run over a static directory
-equals the batch groupBy over the same data (asserted in
-tests/test_streaming_windowed.py).
+aggregation, drained in **append mode**: a window's row is emitted exactly
+once, when the watermark (max observed event time − delay) passes the
+window end; its state is then evicted, and events arriving after the
+watermark are dropped.  Those semantics only exist in append/update mode —
+in complete mode Spark neither evicts window state nor drops late data, so
+the watermark would be inert (the reason this runner is append-mode).
+
+The price of real watermark semantics is that the trailing windows — those
+the watermark hasn't passed yet — stay PENDING in state at the end of an
+``availableNow`` drain; they are emitted by a later run over the same
+checkpoint once newer events advance the watermark.  The correctness
+contract (tests/test_streaming_windowed.py) is therefore: emitted windows
+== the batch rollup restricted to finalized windows, late events do not
+change already-emitted windows, and the trailing windows appear after the
+watermark advances.
 
 Scale notes: state is partitioned by (window, group key) — the same shuffle
-key a batch rollup would use; watermark bounds state size so the query runs
-indefinitely.  This is the streaming twin of the batch q11 events rollup in
+key a batch rollup would use; append-mode eviction bounds state to the
+windows inside the watermark horizon, so the query runs indefinitely.
+This is the streaming twin of the batch q11 events rollup in
 __spark_entry__.py.
 """
 
@@ -64,17 +76,20 @@ def run_available_now(
     **kwargs,
 ) -> None:
     """Drain a parquet-directory stream with trigger=availableNow into a
-    parquet sink (complete-mode aggregations need foreachBatch for file
-    sinks; each batch overwrite is idempotent via the checkpoint)."""
+    parquet sink, append mode: each finalized window is appended exactly
+    once (checkpointed watermark + batch ids make re-runs incremental and
+    idempotent).  Windows the watermark hasn't closed remain in state and
+    are appended by a later invocation with the same checkpoint once newer
+    events arrive."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     agg = windowed_event_counts(stream, **kwargs)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(output_dir)
+        batch_df.write.mode("append").parquet(output_dir)
 
     (
         agg.writeStream.foreachBatch(sink)
-        .outputMode("complete")
+        .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
