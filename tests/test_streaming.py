@@ -62,3 +62,49 @@ def test_incremental_dedup_across_batches(spark, dirs):
     assert ("c1", "c4") in pairs2  # cross-batch match via the band store
     assert ("c1", "c2") in pairs2  # batch-1 output retained
     assert not any("c5" in p for p in pairs2)
+
+
+def test_batch_time_flat_as_history_grows(spark, dirs):
+    """Guard against O(history) per-batch cost: a small batch processed
+    against a 17x-larger history must not cost materially more than the
+    same-size batch processed against near-empty history.  (The docs store
+    is read via candidate-id pushdown and the band store is probed with a
+    broadcast of the new side, so per-batch work tracks batch+candidates,
+    not history.)"""
+    import time
+
+    import random
+
+    src, state, ckpt = dirs
+    cfg = PipelineConfig(verify_threshold=0.8, run_id="stream_growth")
+    dedup = IncrementalDedup(spark, cfg, state)
+
+    vocab = [f"w{v}" for v in range(4000)]
+
+    def clips(start, n, tag):
+        # genuinely distinct documents (independent 12-word samples from a
+        # 4000-word vocab): near-zero cross-doc similarity, so candidate
+        # count stays ~0 and the measurement isolates history-size cost
+        # rather than LSH noise
+        out = []
+        for i in range(start, start + n):
+            rng = random.Random(f"{tag}{i}")
+            out.append((f"{tag}{i}", " ".join(rng.sample(vocab, 12))))
+        return out
+
+    def run_once(rows, name):
+        _write_batch(spark, src, rows, name)
+        t0 = time.time()
+        q = dedup.start(src + "/*", SCHEMA, ckpt)
+        q.awaitTermination(300)
+        return time.time() - t0
+
+    t_small_hist = run_once(clips(0, 300, "a"), "g1")      # history: empty
+    run_once(clips(0, 5000, "h"), "g2")                     # build history
+    t_big_hist = run_once(clips(0, 300, "z"), "g3")         # history: 5300
+    # linear-in-history cost would make the third batch ~17x the first's
+    # data cost; allow generous fixed-overhead slack
+    assert t_big_hist < 2.0 * t_small_hist + 3.0, (
+        f"batch time grew with history: {t_small_hist:.1f}s -> "
+        f"{t_big_hist:.1f}s"
+    )

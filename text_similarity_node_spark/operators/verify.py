@@ -57,6 +57,8 @@ def verify_pairs_multiset_jaccard_arrays(
     id_col: str,
     tokens_col: str,
     threshold: float,
+    presorted_hashes: bool = False,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Array-merge verify: the shuffle-free shape for PREFILTERED candidate
     sets (|pairs| << |docs| * grams/doc).
@@ -72,7 +74,12 @@ def verify_pairs_multiset_jaccard_arrays(
     sorted arrays: run-length unique + intersect1d + min-count sum = exact
     multiset |A∩B| (token_based.cpp:30-43 semantics over hashed grams; a
     collision would need two distinct grams of the same pair to collide,
-    ~2^-64 per pair)."""
+    ~2^-64 per pair).
+
+    ``presorted_hashes=True`` declares that ``tokens_col`` already holds
+    sorted xxhash64 arrays (with ``total_col`` carrying the gram count) —
+    used by callers that persist the reduced form, e.g. the streaming
+    dedup's docs store, so the reduction isn't recomputed per batch."""
     @F.pandas_udf(T.LongType())
     def isz_udf(a1: pd.Series, a2: pd.Series) -> pd.Series:
         out = np.zeros(len(a1), dtype=np.int64)
@@ -88,13 +95,23 @@ def verify_pairs_multiset_jaccard_arrays(
             out[i] = int(np.minimum(cx[ix], cy[iy]).sum())
         return pd.Series(out)
 
-    arrs = docs_tokens.select(
-        F.col(id_col).alias("_vid"),
-        F.sort_array(
-            F.transform(F.col(tokens_col), lambda t: F.xxhash64(t))
-        ).alias("_harr"),
-        F.size(F.col(tokens_col)).alias("_total"),
-    )
+    if presorted_hashes:
+        total = (
+            F.col(total_col) if total_col else F.size(F.col(tokens_col))
+        )
+        arrs = docs_tokens.select(
+            F.col(id_col).alias("_vid"),
+            F.col(tokens_col).alias("_harr"),
+            total.alias("_total"),
+        )
+    else:
+        arrs = docs_tokens.select(
+            F.col(id_col).alias("_vid"),
+            F.sort_array(
+                F.transform(F.col(tokens_col), lambda t: F.xxhash64(t))
+            ).alias("_harr"),
+            F.size(F.col(tokens_col)).alias("_total"),
+        )
     pairs = candidates.select("id1", "id2")
     a1 = arrs.select(
         F.col("_vid").alias("id1"), F.col("_harr").alias("_h1"),

@@ -6,12 +6,38 @@ arrive as files in a directory (stand-in for Kafka at scale), and each
 micro-batch is deduplicated against everything seen so far:
 
     new batch ─► signatures ─► bands ─┐
-                                      ├─ equi-join ─► candidates ─► verify
-    signature store (all history) ────┘
+                                      ├─ band join ─► candidates ─► verify
+    band store (all history) ─────────┘                   │
+    docs store (gram arrays) ─────────────────────────────┘
 
-State lives in the checkpoint warehouse as an append-only signature store —
+State lives in the checkpoint warehouse as two append-only parquet stores —
 the streaming analogue of the batch pipeline's checkpoint tables, giving
 exactly-once semantics through foreachBatch + idempotent batch-id dirs.
+
+Why batch cost does NOT grow linearly with history:
+
+* The new-vs-history band join broadcasts the NEW side (a micro-batch's
+  bands are small by definition), so the history store is streamed through
+  a broadcast-hash join — never shuffled.  History partitions are read in
+  parallel and the per-batch shuffle volume is O(batch + candidates),
+  independent of history size.
+* The band store is hash-partitioned on ``pmod(band_hash, P)`` and sorted
+  by ``band_hash`` within files, so the scan is sequential 16-byte rows
+  with row-group min/max stats available to future range/bloom pushdowns
+  (and partition-level parallelism for the broadcast probe).
+* The docs store (the heavy side: per-doc sorted gram-hash arrays) is
+  never scanned wholesale: only the clip_ids appearing in this batch's
+  candidate pairs are fetched, via an ``isin`` predicate pushed into the
+  parquet scan (files are sorted by clip_id, so row-group stats skip
+  non-matching groups).  Its read cost is O(candidates), not O(history).
+* Verification is the batch path's array-merge shape
+  (operators/verify.verify_pairs_multiset_jaccard_arrays): per-pair numpy
+  merge over presorted xxhash64 gram arrays — NOT the interpreted
+  map_zip_with expression, which the batch pipeline measured ~100x slower
+  (operators/verify.py header).
+
+tests/test_streaming.py asserts pair-level correctness vs the batch
+pipeline AND that per-batch wall time stays flat as history grows.
 """
 
 from __future__ import annotations
@@ -22,13 +48,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..functions import columns as C
 from ..operators import minhash
+from ..operators.verify import verify_pairs_multiset_jaccard_arrays
 from ..plans.pipeline import _tokens_col
+
+# number of hash partitions for the band store; at cluster scale make this
+# proportional to history volume (it only affects file layout, not results)
+_BAND_PARTITIONS = 16
+# above this many candidate ids, skip the isin pushdown (a huge IN list
+# costs more to evaluate than it saves) and fall back to a shuffle join
+_ISIN_PUSHDOWN_CAP = 100_000
 
 
 class IncrementalDedup:
-    """foreachBatch sink: maintains a band store and emits verified pairs."""
+    """foreachBatch sink: maintains band + gram stores and emits verified
+    pairs."""
 
     def __init__(self, spark: SparkSession, cfg: PipelineConfig, state_dir: str):
         self.spark = spark
@@ -51,15 +85,21 @@ class IncrementalDedup:
         )
         sig = minhash.with_minhash(docs, "tokens", cfg).select("clip_id", "minhash")
         new_bands = minhash.explode_bands(sig, "clip_id", "minhash", cfg).cache()
+        # per-doc sorted gram-hash arrays + totals: the array-merge verify's
+        # input shape, precomputed once per doc at ingest time
         new_docs = docs.select(
-            "clip_id", C.token_count_map(F.col("tokens")).alias("grams")
+            "clip_id",
+            F.sort_array(
+                F.transform(F.col("tokens"), lambda t: F.xxhash64(t))
+            ).alias("gram_hashes"),
+            F.size("tokens").alias("n_grams"),
         ).cache()
 
-        # candidates: new-vs-new plus new-vs-history (two joins, both on the
-        # band key; the history side is the big one and stays partitioned)
+        # candidates: new-vs-new plus new-vs-history.  Both joins broadcast
+        # the new side, so history is streamed, never shuffled.
         a, b = new_bands.alias("a"), new_bands.alias("b")
         nn = a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.clip_id") < F.col("b.clip_id")),
@@ -68,8 +108,8 @@ class IncrementalDedup:
         )
         if self._store_exists(self.bands_path):
             hist = self.spark.read.parquet(self.bands_path).alias("h")
-            nh = new_bands.alias("n").join(
-                hist,
+            nh = hist.join(
+                F.broadcast(new_bands.alias("n")),
                 (F.col("n.band_id") == F.col("h.band_id"))
                 & (F.col("n.band_hash") == F.col("h.band_hash")),
             ).select(
@@ -79,29 +119,60 @@ class IncrementalDedup:
             cand = nn.unionByName(nh)
         else:
             cand = nn
-        cand = cand.dropDuplicates(["id1", "id2"])
+        cand = cand.dropDuplicates(["id1", "id2"]).cache()
 
-        # verify with exact multiset jaccard; history grams come from the store
-        if self._store_exists(self.docs_path):
-            all_docs = self.spark.read.parquet(self.docs_path).unionByName(new_docs)
-        else:
-            all_docs = new_docs
-        d1 = all_docs.select(F.col("clip_id").alias("id1"), F.col("grams").alias("g1"))
-        d2 = all_docs.select(F.col("clip_id").alias("id2"), F.col("grams").alias("g2"))
-        verified = (
-            cand.join(d1, "id1").join(d2, "id2")
-            .withColumn("jaccard", C.multiset_jaccard(F.col("g1"), F.col("g2")))
-            .filter(F.col("jaccard") >= cfg.verify_threshold)
-            .select("id1", "id2", "jaccard", F.lit(int(batch_id)).alias("batch_id"))
+        # gram arrays for exactly the docs the candidates touch: new-batch
+        # docs from memory; historical docs via a pushed-down isin scan
+        # (store files are sorted by clip_id -> row-group skipping), so the
+        # docs-store read is O(candidates), not O(history)
+        cand_ids = {
+            r[0]
+            for r in cand.select(F.explode(F.array("id1", "id2"))).distinct().collect()
+        }
+        stores = [new_docs]
+        if self._store_exists(self.docs_path) and cand_ids:
+            hist_docs = self.spark.read.parquet(self.docs_path)
+            if len(cand_ids) <= _ISIN_PUSHDOWN_CAP:
+                hist_docs = hist_docs.filter(F.col("clip_id").isin(*cand_ids))
+            stores.append(hist_docs)
+        all_docs = stores[0] if len(stores) == 1 else stores[0].unionByName(stores[1])
+        # dedupe (a replayed batch may have written its docs already)
+        all_docs = all_docs.dropDuplicates(["clip_id"])
+
+        verified = verify_pairs_multiset_jaccard_arrays(
+            cand,
+            all_docs.select(
+                "clip_id",
+                F.col("gram_hashes").alias("tokens_presorted"),
+                F.col("n_grams"),
+            ),
+            "clip_id",
+            "tokens_presorted",
+            cfg.verify_threshold,
+            presorted_hashes=True,
+            total_col="n_grams",
+        ).select(
+            "id1", "id2", "jaccard", F.lit(int(batch_id)).alias("batch_id")
         )
         # idempotence: one output dir per batch id, overwritten on replay
         verified.write.mode("overwrite").parquet(
             os.path.join(self.pairs_path, f"batch_id={int(batch_id)}")
         )
-        new_bands.write.mode("append").parquet(self.bands_path)
-        new_docs.write.mode("append").parquet(self.docs_path)
+        (
+            new_bands.withColumn(
+                "bh_part", F.pmod(F.col("band_hash"), F.lit(_BAND_PARTITIONS))
+            )
+            .sortWithinPartitions("band_hash")
+            .write.mode("append")
+            .partitionBy("bh_part")
+            .parquet(self.bands_path)
+        )
+        new_docs.sortWithinPartitions("clip_id").write.mode("append").parquet(
+            self.docs_path
+        )
         new_bands.unpersist()
         new_docs.unpersist()
+        cand.unpersist()
 
     def start(self, source_dir: str, schema: str, checkpoint_dir: str):
         stream = (
