@@ -52,6 +52,10 @@ def bench_pipeline_config(shuffle_partitions: int, run_id: str,
         salt_buckets=8,
         shuffle_partitions=shuffle_partitions,
         checkpoint_stages=checkpoint_stages,
+        # per-partition ledger rides with the durable checkpoints: the
+        # scaling run disables both (fixed per-stage job overhead would
+        # dominate the latency-calibrated efficiency measurement)
+        per_partition_metrics=checkpoint_stages,
         run_id=run_id,
     )
 

@@ -64,3 +64,37 @@ def test_config_change_invalidates_checkpoints(spark):
             F.col("detail") == "resumed-from-checkpoint"
         ).count()
         assert resumed == 0
+
+
+def test_per_partition_metrics_cover_every_stage(spark):
+    """North-rule contract: the ledger carries per-partition rows-in/out
+    for each built stage, and the per-partition counts sum to the stage's
+    rows_out in the stage-level metrics."""
+    clips, _ = generate_clips(spark, SPEC)
+    cfg = PipelineConfig(run_id="resume_pp", hot_band_threshold=100, salt_buckets=4)
+    with tempfile.TemporaryDirectory() as wh:
+        res = NearDupPipeline(spark, cfg, wh).run(clips)
+        cat = ParquetCatalog(spark, wh)
+        pp = cat.read_ledger("metrics_partitions").filter(
+            F.col("run_id") == "resume_pp"
+        )
+        rows = pp.collect()
+        assert rows, "per-partition ledger is empty"
+        stage_out = {
+            r.stage: r.rows_out
+            for r in res.metrics.filter(
+                (F.col("run_id") == "resume_pp") & (F.col("rows_out") >= 0)
+            ).collect()
+        }
+        by_stage = {}
+        for r in rows:
+            if r.direction == "out":
+                by_stage.setdefault(r.stage, 0)
+                by_stage[r.stage] += r.rows
+        # every checkpointed stage has per-partition output rows that sum
+        # to the stage-level rows_out
+        for stage, total in by_stage.items():
+            assert total == stage_out[stage], (stage, total, stage_out[stage])
+        assert set(by_stage) == set(stage_out), (
+            set(by_stage), set(stage_out)
+        )

@@ -156,6 +156,12 @@ class PipelineConfig:
     # checkpoint store scales with executors; in the single-disk sandbox it
     # serializes, so the scaling bench disables it at BOTH levels.
     checkpoint_stages: bool = True
+    # Per-partition rows-in/rows-out ledger rows for every stage (the
+    # north rule's per-partition lineage/metrics).  One extra count-by-
+    # partition job per stage side (~sub-second on checkpointed output);
+    # the latency-calibrated scaling bench turns it off along with
+    # checkpoint_stages.
+    per_partition_metrics: bool = True
 
     run_id: str = "run0"
 
@@ -175,6 +181,7 @@ class PipelineConfig:
         # execution-only knobs don't change results
         payload.pop("checkpoint_stages", None)
         payload.pop("shuffle_partitions", None)
+        payload.pop("per_partition_metrics", None)
         blob = json.dumps(payload, sort_keys=True, default=str).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -96,6 +96,47 @@ class NearDupPipeline:
             schema=schema,
         )
 
+    def _log_partitions(self, stage: str, direction: str, df: DataFrame) -> None:
+        """Per-partition row counts for one side of a stage (the north
+        rule's per-partition lineage/metrics): one ledger row per Spark
+        partition, written driver-side via pyarrow like the other ledgers
+        (a distributed 1-row-per-partition write would cost a Spark job's
+        overhead for ~32 rows).  The count aggregates per
+        spark_partition_id over the materialized stage output — parquet
+        row-group stats make it a metadata-weight scan."""
+        import pyarrow as pa
+
+        counts = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        schema = pa.schema(
+            [
+                ("run_id", pa.string()),
+                ("stage", pa.string()),
+                ("config_hash", pa.string()),
+                ("direction", pa.string()),
+                ("partition_id", pa.int64()),
+                ("rows", pa.int64()),
+            ]
+        )
+        self.catalog.append_rows(
+            [
+                {
+                    "run_id": self.cfg.run_id,
+                    "stage": stage,
+                    "config_hash": self.chash,
+                    "direction": direction,
+                    "partition_id": int(r["partition_id"]),
+                    "rows": int(r["rows"]),
+                }
+                for r in counts
+            ],
+            "metrics_partitions",
+            schema=schema,
+        )
+
     def _lineage(self, stage: str, input_desc: str) -> None:
         import pyarrow as pa
 
@@ -131,17 +172,30 @@ class NearDupPipeline:
             n_in = rows_in_df.count() if rows_in_df is not None else -1
             self._log(name, n_in, out.count())
             self._lineage(name, input_desc=f"stage-input:{name}")
+            self._maybe_log_partitions(name, rows_in_df, out)
             return out
         if self.catalog.exists(name, self.chash):
             out = self.catalog.read(name, self.chash)
             self._log(name, -1, out.count(), detail="resumed-from-checkpoint")
+            # per-partition rows were written by the original run (keyed by
+            # the same config hash) — not re-recorded on resume
             return out
         df = build()
         out = self.catalog.write(df, name, self.chash)
         n_in = rows_in_df.count() if rows_in_df is not None else -1
         self._log(name, n_in, out.count())
         self._lineage(name, input_desc=f"stage-input:{name}")
+        self._maybe_log_partitions(name, rows_in_df, out)
         return out
+
+    def _maybe_log_partitions(
+        self, name: str, rows_in_df: DataFrame | None, out: DataFrame
+    ) -> None:
+        if not self.cfg.per_partition_metrics:
+            return
+        if rows_in_df is not None:
+            self._log_partitions(name, "in", rows_in_df)
+        self._log_partitions(name, "out", out)
 
     # -- stages ---------------------------------------------------------------
 
@@ -280,6 +334,7 @@ class NearDupPipeline:
                 dropped=n_before - n_after,
                 detail=f"margin={cfg.minhash_prefilter_margin}",
             )
+            self._maybe_log_partitions("verify_prefilter", None, cand)
             docs = rep_clips.select(
                 "clip_id", _tokens_col(cfg).alias("tokens")
             )
