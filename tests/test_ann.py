@@ -67,3 +67,21 @@ def test_lsh_results_are_true_neighbors(spark, emb):
     }
     for r in cosine_topk_lsh(emb, queries, dim=64, k=5, n_bits=6).collect():
         assert exact_scores[(r.query_id, r.vec_id)] == r.cos_sim
+
+
+def test_embedding_neardup_salted_equals_unsalted(spark, emb):
+    """Hot-bucket salting must not change the candidate/pair set: force
+    every bucket hot (threshold 0) and compare against the plain join."""
+    from text_similarity_node_spark.operators.dedup import embedding_neardup
+
+    def pairs(hot_threshold):
+        out = embedding_neardup(
+            emb, "vec_id", "embedding", dim=64, threshold=0.3, n_bits=6,
+            hot_bucket_threshold=hot_threshold, salt_buckets=4,
+        )
+        return {(r.id1, r.id2, round(r.cos_sim, 9)) for r in out.collect()}
+
+    unsalted = pairs(hot_threshold=10**9)
+    salted = pairs(hot_threshold=0)
+    assert unsalted  # threshold 0.3 on sf0.01 embeddings yields pairs
+    assert salted == unsalted

@@ -68,15 +68,27 @@ def embedding_neardup(
     threshold: float = 0.98,
     n_bits: int = 8,
     seed: int = 42,
+    hot_bucket_threshold: int = 5_000,
+    salt_buckets: int = 8,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: RHP bucket join (multiprobe) +
-    exact cosine filter.  Returns (id1, id2, cos_sim)."""
+    """Embedding-cosine near-dup pairs: RHP bucket join (1-bit multiprobe)
+    + exact cosine filter.  Returns (id1, id2, cos_sim).
+
+    Skew: an RHP bucket holding m vectors yields O(m * m_probe) join rows
+    in one reducer (embedding clusters — e.g. boilerplate pages or silence
+    clips — concentrate mass in few buckets).  Buckets whose true-bucket
+    occupancy exceeds ``hot_bucket_threshold`` take the same salted
+    triangle join as the LSH band stage (operators/lsh.py): the exact side
+    keeps a deterministic salt in [0, g), the probe side replicates to
+    every salt block, so every colliding pair still meets exactly once
+    while no reducer sees more than ~1/g of a hot bucket."""
     from ..operators.ann import rhp_bucket_udf
 
     bucket = rhp_bucket_udf(dim, n_bits, seed)
     v = df.select(
         F.col(id_col).alias("rid"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("bucket", bucket(F.col("v")))
+    v = v.localCheckpoint(eager=False)  # consumed by counts + both join sides
     probes = v.withColumn(
         "pbucket",
         F.explode(
@@ -85,11 +97,34 @@ def embedding_neardup(
             ])
         ),
     )
-    a = v.alias("a")
-    b = probes.alias("b")
+    # hot-key set from true-bucket occupancy (the skew driver on both join
+    # sides); tiny — one row per hot bucket — so it broadcasts
+    hot = (
+        v.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_bucket_threshold)
+        .select("bucket", F.lit(salt_buckets).alias("_g"))
+    )
+    left = (
+        v.join(F.broadcast(hot), "bucket", "left")
+        .withColumn("_gk", F.coalesce("_g", F.lit(1)))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("rid")), F.col("_gk")).cast("int"))
+        .select("rid", "v", "bucket", "salt")
+    )
+    right = (
+        probes.join(
+            F.broadcast(hot.withColumnRenamed("bucket", "pbucket")), "pbucket", "left"
+        )
+        .withColumn("_gk", F.coalesce("_g", F.lit(1)))
+        .withColumn("salt_j", F.explode(F.sequence(F.lit(0), F.col("_gk") - 1)))
+        .select("rid", "v", "pbucket", "salt_j")
+    )
+    a, b = left.alias("a"), right.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.bucket") == F.col("b.pbucket")) & (F.col("a.rid") < F.col("b.rid")),
+        (F.col("a.bucket") == F.col("b.pbucket"))
+        & (F.col("a.salt") == F.col("b.salt_j"))
+        & (F.col("a.rid") < F.col("b.rid")),
     ).select(
         F.col("a.rid").alias("id1"),
         F.col("b.rid").alias("id2"),
