@@ -705,7 +705,8 @@ def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash sketches + pigeonhole Hamming banding (reference cosine
     semantics at scale).  No SQL oracle (custom sketch); rows-only check
-    plus pytest property coverage."""
+    plus pytest property coverage — and q31_simhash_recall_audit carries
+    the oracle-checked recall evidence for this pass."""
     from text_similarity_node_spark.config import PipelineConfig
     from text_similarity_node_spark.operators import simhash
 
@@ -724,20 +725,27 @@ def q17_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowed substring/containment candidates (operators/suffix.py) over
-    the derived corpus (planted prefix-dropped copies are true
-    containments), verified by actual substring overlap length.  No SQL
-    oracle (rolling-hash winnowing); pytest covers the guarantee."""
+    """Winnowed substring/containment pass (operators/suffix.py) over the
+    derived corpus, restricted to the regime where the winnowing theorem
+    (Schleimer et al., MOSS) makes recall EXACTLY 1.0: any common
+    substring of >= window + k - 1 = 47 chars is guaranteed to share a
+    fingerprint, so for fully-contained texts of >= 47 chars the candidate
+    set provably covers every true pair; the exact instr() verify makes
+    precision 1.0.  That determinism is what admits the brute-force SQL
+    oracle (full containment IS SQL-expressible).  The fingerprint cap is
+    disabled here (exactness-audit mode); the production pipeline keeps
+    the cap with drop metrics."""
     from text_similarity_node_spark.operators.suffix import containment_candidates
 
     corpus = _dedup_corpus(spark, sf_dir)
     cands = containment_candidates(
-        corpus, "doc_id", "text", min_len=32, window=16
+        corpus, "doc_id", "text", min_len=32, window=16, fingerprint_cap=10**9
     )
     t1 = corpus.select(F.col("doc_id").alias("id1"), F.col("text").alias("t1"))
     t2 = corpus.select(F.col("doc_id").alias("id2"), F.col("text").alias("t2"))
     return (
         cands.join(t1, "id1").join(t2, "id2")
+        .filter(F.least(F.length("t1"), F.length("t2")) >= 47)
         .withColumn(
             "contained",
             (F.instr(F.col("t1"), F.col("t2")) > 0) | (F.instr(F.col("t2"), F.col("t1")) > 0),
@@ -745,6 +753,15 @@ def q18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contained"))
         .select(F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2"))
     )
+
+
+_Q18_SQL = f"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL})
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+WHERE least(length(a.text), length(b.text)) >= 47
+  AND (instr(a.text, b.text) > 0 OR instr(b.text, a.text) > 0)
+"""
 
 
 def q19_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,6 +1365,68 @@ WHERE least(greatest(s.dot::DOUBLE / (sqrt(q1.ssq::DOUBLE) * sqrt(q2.ssq::DOUBLE
 """
 
 
+def q31_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable recall audit for the SimHash pass (the pattern a
+    production pipeline runs on a small sample): ground truth = all pairs
+    with multiset trigram Jaccard >= 0.7 (brute-force array-merge verify
+    over every pair — sample-sized inputs only, by design), candidates =
+    SimHash pigeonhole banding at Hamming radius 10.  Emits one row
+    (n_truth, n_missed); the oracle brute-forces n_truth in SQL and
+    asserts n_missed = 0, so the driver hash matches iff the sketch's
+    measured recall on this corpus is exactly 1.0.  (q17 remains the
+    scale-shaped candidate query; this is its recall evidence.)"""
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators import simhash
+    from text_similarity_node_spark.operators.verify import (
+        verify_pairs_multiset_jaccard_arrays,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", C.char_ngrams(F.col("text"), 3).alias("tokens")
+    )
+    ids = docs.select(F.col("doc_id").alias("id1"))
+    allpairs = ids.crossJoin(docs.select(F.col("doc_id").alias("id2"))).filter(
+        F.col("id1") < F.col("id2")
+    )
+    truth = verify_pairs_multiset_jaccard_arrays(
+        allpairs, docs, "doc_id", "tokens", 0.7
+    ).select("id1", "id2").localCheckpoint(eager=False)
+    cfg = PipelineConfig(hamming_radius=10)
+    sk = simhash.with_simhash(docs, "tokens")
+    cand = simhash.simhash_candidates(
+        sk.select("doc_id", "simhash"), cfg, id_col="doc_id"
+    ).select("id1", "id2")
+    found = truth.join(cand, ["id1", "id2"], "left_semi")
+    return truth.agg(F.count(F.lit(1)).alias("n_truth")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("_nf"))
+    ).select(
+        "n_truth", (F.col("n_truth") - F.col("_nf")).alias("n_missed")
+    )
+
+
+_Q31_SQL = r"""
+WITH grams AS (
+  SELECT doc_id, substring(text, i, 3) AS g, count(*) AS c
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i)
+  GROUP BY doc_id, substring(text, i, 3)
+),
+totals AS (
+  SELECT doc_id, greatest(length(text) - 2, 1) AS total FROM documents
+),
+inter AS (
+  SELECT g1.doc_id AS id1, g2.doc_id AS id2, sum(least(g1.c, g2.c)) AS isz
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+)
+SELECT count(*) AS n_truth, 0::BIGINT AS n_missed
+FROM inter i
+JOIN totals t1 ON t1.doc_id = i.id1
+JOIN totals t2 ON t2.doc_id = i.id2
+WHERE i.isz::DOUBLE / (t1.total + t2.total - i.isz) >= 0.7
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1390,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_exact_dedup_canonical": q28_exact_dedup_canonical,
         "q29_embedding_neardup": q29_embedding_neardup,
         "q30_char_cosine_pairs": q30_char_cosine_pairs,
+        "q31_simhash_recall_audit": q31_simhash_recall_audit,
     }
 
 
@@ -1419,9 +1499,11 @@ def oracle_sql() -> dict[str, str]:
         "q26_jaro_pairs": _Q26_SQL,
         "q27_audio_rms": _Q27_SQL,
         "q28_exact_dedup_canonical": _Q28_SQL,
+        "q18_containment_pairs": _Q18_SQL,
         "q29_embedding_neardup": _Q29_SQL,
         "q30_char_cosine_pairs": _Q30_SQL,
-        # q16-q19 intentionally have no oracle: probabilistic candidate
+        "q31_simhash_recall_audit": _Q31_SQL,
+        # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks and pytest
         # covers recall/exactness (test_pipeline.py, test_ann.py).
