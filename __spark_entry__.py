@@ -1427,6 +1427,59 @@ WHERE i.isz::DOUBLE / (t1.total + t2.total - i.isz) >= 0.7
 """
 
 
+def q32_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-CONTENT near-dup pairs via spectral-landmark fingerprinting
+    (operators/audio_fp.py) — no transcript involved.  Corpus: one
+    deterministic 1-s sine clip per doc (freq = 100 + doc_id % 400 Hz)
+    plus seeded noisy copies (~34 dB SNR) at doc_id + 1_000_000 for
+    doc_id % 6 == 0.  Two clips are the same recording iff their ids are
+    congruent mod 400 — which is the brute-force SQL oracle.  The Spark
+    side must recover exactly those pairs from the waveforms alone:
+    parabolic peak interpolation holds the frequency estimate within the
+    1 Hz quantization step through the jitter, so recall and precision
+    are both exactly 1.0 on this corpus (adjacent frequencies are 1 Hz
+    apart — a coarser quantizer would merge them and fail the hash)."""
+    from text_similarity_node_spark.operators.audio import synth_sine1s_pcm_udf
+    from text_similarity_node_spark.operators.audio_fp import audio_fingerprint_pairs
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_sine1s_pcm_udf()
+    corpus = (
+        base.unionByName(copies)
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    pairs = audio_fingerprint_pairs(
+        corpus,
+        "doc_id",
+        "bytes",
+        min_matches=2,
+        frame_len=4096,
+        hop=2048,
+        peaks_per_frame=1,
+        fanout=2,
+        freq_quant_hz=1.0,
+    )
+    return pairs.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q32_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 6 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM corpus a JOIN corpus b
+  ON a.doc_id < b.doc_id AND a.doc_id % 400 = b.doc_id % 400
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1470,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_embedding_neardup": q29_embedding_neardup,
         "q30_char_cosine_pairs": q30_char_cosine_pairs,
         "q31_simhash_recall_audit": q31_simhash_recall_audit,
+        "q32_audio_fingerprint_pairs": q32_audio_fingerprint_pairs,
     }
 
 
@@ -1503,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
         "q29_embedding_neardup": _Q29_SQL,
         "q30_char_cosine_pairs": _Q30_SQL,
         "q31_simhash_recall_audit": _Q31_SQL,
+        "q32_audio_fingerprint_pairs": _Q32_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks and pytest

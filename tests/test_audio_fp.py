@@ -1,0 +1,63 @@
+"""Acoustic-fingerprint dedup: recover the planted clip clusters from the
+WAVEFORMS alone (no transcript) — candidates from spectral landmarks, exact
+pairwise-SNR verify."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from text_similarity_node_spark.operators.audio_fp import (
+    audio_fingerprint_pairs,
+    audio_neardup,
+)
+from text_similarity_node_spark.sources.clips import ClipsSpec, generate_clips
+
+FP_KW = dict(
+    frame_len=2048, hop=1024, peaks_per_frame=2, fanout=1, freq_quant_hz=2.0
+)
+
+
+def _truth_pairs(truth):
+    a = truth.select(
+        F.col("clip_id").alias("id1"), F.col("true_cluster_id").alias("c1")
+    )
+    b = truth.select(
+        F.col("clip_id").alias("id2"), F.col("true_cluster_id").alias("c2")
+    )
+    return (
+        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("id1") < F.col("id2")))
+        .select("id1", "id2")
+    )
+
+
+def test_audio_neardup_recovers_planted_clusters(spark):
+    clips, truth = generate_clips(spark, ClipsSpec(n_clips=400, seed=13))
+    clips = clips.cache()
+    found = audio_neardup(
+        clips, "clip_id", "bytes", "sr_hz", snr_threshold_db=20.0, **FP_KW
+    ).select("id1", "id2").cache()
+    tp = _truth_pairs(truth).cache()
+    n_truth = tp.count()
+    n_found = found.count()
+    n_hit = tp.join(found, ["id1", "id2"], "left_semi").count()
+    assert n_truth > 0
+    # recall: landmark candidates + SNR verify recover the same-recording
+    # pairs from audio alone
+    assert n_hit / n_truth >= 0.99, (n_hit, n_truth)
+    # precision: the SNR verify admits no cross-cluster pair (different
+    # two-sine waveforms sit far below 0 dB against each other)
+    assert n_found == n_hit, (n_found, n_hit)
+
+
+def test_fingerprint_pairs_cap_is_metered(spark):
+    """Hot landmark hashes are dropped with metrics rows, never silently:
+    force every hash hot with cap=0 and check the pair set empties while
+    the metrics side reports the dropped hashes."""
+    clips, _ = generate_clips(spark, ClipsSpec(n_clips=60, seed=5))
+    pairs, hot = audio_fingerprint_pairs(
+        clips, "clip_id", "bytes", "sr_hz", hash_cap=0, return_metrics=True,
+        **FP_KW,
+    )
+    assert pairs.count() == 0
+    assert hot.count() > 0
+    assert {"h", "n_docs"} <= set(hot.columns)

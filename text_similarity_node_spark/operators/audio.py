@@ -120,6 +120,34 @@ def synth_sine_pcm_udf(doc_id: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def synth_sine1s_pcm_udf(sr_hz: int = 16000, amp: float = 0.5,
+                         jitter_amp: float = 0.008):
+    """Deterministic 1-second pcm_s16le sine per id: frequency
+    100 + id % 400 Hz.  Ids >= 1_000_000 additionally carry seeded
+    Gaussian jitter (amplitude ratio ~ SNR 34 dB) — the planted "same
+    recording, noisy copy" rows for the audio-fingerprint dedup query.
+    1_000_000 % 400 == 0, so a copy shares its source's frequency and the
+    id % 400 congruence IS the ground-truth pairing key (SQL-expressible:
+    the q32 oracle)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        t = np.arange(sr_hz) / float(sr_hz)
+        for d in doc_id:
+            d = int(d)
+            freq = 100.0 + (d % 400)
+            x = amp * np.sin(2.0 * np.pi * freq * t)
+            if d >= 1_000_000:
+                x = x + jitter_amp * np.random.RandomState(d % 2**31).randn(len(t))
+            out.append(
+                np.clip(x * 32767.0, -32768, 32767).astype("<i2").tobytes()
+            )
+        return pd.Series(out)
+
+    return udf
+
+
 def resample_stub(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     """DETERMINISTIC FAKE resampler (linear interpolation) — marked stub:
     a real pipeline would use a polyphase filter from an audio library not

@@ -1,0 +1,206 @@
+"""Acoustic fingerprinting: audio-content near-duplicate detection.
+
+The transcript-side dedup passes (MinHash/SimHash/winnowing) cannot see
+re-encoded or re-transcribed copies of the same RECORDING; this operator
+fingerprints the waveform itself with the classic spectral-landmark
+("constellation") scheme from the audio-retrieval literature (Wang 2003,
+Haitsma-Kalker 2002 — public method):
+
+    PCM -> Hann-windowed frames -> rFFT magnitude
+        -> top-P spectral peaks per frame (parabolically interpolated to
+           sub-bin frequency, quantized to an integer step)
+        -> landmark hashes: intra-frame peak pairs (f1, f2, 0) and
+           anchor->target pairs across the next `fanout` frames
+           (f1, f2, dt), packed into one BIGINT
+        -> per-clip array of distinct hashes
+
+Pair generation is then the engine's standard shape: explode -> hot-hash
+cap WITH metrics (a hash shared by f clips is boilerplate — silence, test
+tones — and yields f²/2 junk pairs; same policy as the winnowing pass,
+operators/suffix.py) -> equi-join on the hash -> per-pair match count
+threshold.  All join work is JVM-side; Python appears only in the
+Arrow-batched framing/FFT UDF.
+
+Scale notes: a clip reduces to ~tens of 8-byte hashes — the BLOB itself
+never shuffles; the landmark table shuffles once (explode->join on the
+hash key), identical to the text LSH band stage, and the same salting
+strategy applies if a deployment sees degenerate hot hashes beyond the
+cap.  numpy rfft over Arrow batches is the only compute stage, which is
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .audio import decode_pcm_s16le
+
+# hash packing: qf1 * 2^24 + qf2 * 2^4 + dt  (quantized freqs < 2^20, dt < 16)
+_F1_SHIFT = 1 << 24
+_F2_SHIFT = 1 << 4
+_MAX_DT = 15
+
+
+def _frame_peaks(
+    x: np.ndarray,
+    frame_len: int,
+    hop: int,
+    peaks_per_frame: int,
+    freq_quant_hz: float,
+    sr_hz: float,
+) -> list[np.ndarray]:
+    """Per frame: quantized interpolated frequencies of the top-P local
+    spectral maxima (magnitude order).  Parabolic interpolation on the
+    log-magnitude of (bin-1, bin, bin+1) gives sub-bin frequency, so the
+    quantization step can sit far below the FFT bin width."""
+    if len(x) < frame_len:
+        return []
+    window = np.hanning(frame_len)
+    starts = np.arange(0, len(x) - frame_len + 1, hop)
+    out = []
+    for s in starts:
+        spec = np.abs(np.fft.rfft(x[s : s + frame_len] * window))
+        if len(spec) < 4:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        inner = spec[1:-1]
+        is_peak = (inner > spec[:-2]) & (inner >= spec[2:])
+        bins = np.nonzero(is_peak)[0] + 1
+        if len(bins) == 0:
+            out.append(np.empty(0, dtype=np.int64))
+            continue
+        top = bins[np.argsort(spec[bins])[::-1][:peaks_per_frame]]
+        # parabolic interpolation on log magnitude
+        with np.errstate(divide="ignore"):
+            la = np.log(spec[top - 1] + 1e-30)
+            lb = np.log(spec[top] + 1e-30)
+            lc = np.log(spec[top + 1] + 1e-30)
+        denom = la - 2.0 * lb + lc
+        delta = np.where(np.abs(denom) > 1e-12, 0.5 * (la - lc) / denom, 0.0)
+        delta = np.clip(delta, -0.5, 0.5)
+        freq_hz = (top + delta) * (sr_hz / frame_len)
+        out.append(np.round(freq_hz / freq_quant_hz).astype(np.int64))
+    return out
+
+
+def audio_landmarks_udf(
+    frame_len: int = 4096,
+    hop: int = 2048,
+    peaks_per_frame: int = 2,
+    fanout: int = 3,
+    freq_quant_hz: float = 1.0,
+):
+    """(bytes pcm_s16le, sr_hz) -> array<bigint> of distinct landmark
+    hashes.  Arrow-batched; empty/short payloads produce an empty array
+    (null-free error channel, like the text tokenizers)."""
+    if fanout > _MAX_DT:
+        raise ValueError(f"fanout must be <= {_MAX_DT} (hash packing)")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(payload: pd.Series, sr_hz: pd.Series) -> pd.Series:
+        out = []
+        for b, sr in zip(payload, sr_hz):
+            if b is None or sr is None or len(b) < 2 * frame_len:
+                out.append([])
+                continue
+            x = decode_pcm_s16le(b)
+            peaks = _frame_peaks(
+                x, frame_len, hop, peaks_per_frame, freq_quant_hz, float(sr)
+            )
+            hashes: set[int] = set()
+            for t1, p1 in enumerate(peaks):
+                # intra-frame pairs (sorted, dt=0)
+                for i in range(len(p1)):
+                    for j in range(i + 1, len(p1)):
+                        lo, hi = sorted((int(p1[i]), int(p1[j])))
+                        hashes.add(lo * _F1_SHIFT + hi * _F2_SHIFT)
+                # cross-frame anchor->target pairs
+                for dt in range(1, fanout + 1):
+                    if t1 + dt >= len(peaks):
+                        break
+                    for f1 in p1:
+                        for f2 in peaks[t1 + dt]:
+                            hashes.add(int(f1) * _F1_SHIFT + int(f2) * _F2_SHIFT + dt)
+            out.append(sorted(hashes))
+        return pd.Series(out)
+
+    return udf
+
+
+def audio_fingerprint_pairs(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    sr_col: str = "sr_hz",
+    min_matches: int = 1,
+    hash_cap: int = 64,
+    return_metrics: bool = False,
+    **landmark_kwargs,
+):
+    """df(id, bytes, sr) -> candidate pairs (id1 < id2, n_matches) whose
+    clips share >= min_matches landmark hashes.
+
+    ``hash_cap`` drops landmark hashes shared by more than cap clips
+    (silence/test-tone boilerplate -> f²/2 junk pairs), never silently:
+    with ``return_metrics`` the dropped hashes come back as
+    (h, n_docs) rows, the same no-silent-caps policy as the winnowing
+    pass."""
+    lm = df.select(
+        F.col(id_col).alias("rid"),
+        F.explode(
+            audio_landmarks_udf(**landmark_kwargs)(F.col(bytes_col), F.col(sr_col))
+        ).alias("h"),
+    ).distinct()
+    lm = lm.localCheckpoint(eager=False)  # counts + both join sides
+    counts = lm.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = counts.filter(F.col("n_docs") > hash_cap)
+    kept = lm.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .groupBy(F.col("a.rid").alias("id1"), F.col("b.rid").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") >= min_matches)
+    )
+    if return_metrics:
+        return pairs, hot
+    return pairs
+
+
+def audio_neardup(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    sr_col: str = "sr_hz",
+    snr_threshold_db: float = 20.0,
+    min_matches: int = 1,
+    **landmark_kwargs,
+) -> DataFrame:
+    """Audio-content near-dup pairs: landmark fingerprint candidates ->
+    exact pairwise-SNR verify (>= snr_threshold_db means one clip is a
+    low-noise rendition of the other; jittered copies of the same
+    recording sit ~30 dB, unrelated waveforms far below 0 dB).  The
+    candidate stage is recall-oriented (min_matches=1) because the SNR
+    verify makes precision exact — the same candidates-then-verify split
+    as the text pipeline.  Returns (id1, id2, n_matches, snr_db)."""
+    from .audio import pairwise_snr_udf
+
+    pairs = audio_fingerprint_pairs(
+        df, id_col, bytes_col, sr_col, min_matches=min_matches, **landmark_kwargs
+    )
+    b1 = df.select(F.col(id_col).alias("id1"), F.col(bytes_col).alias("_b1"))
+    b2 = df.select(F.col(id_col).alias("id2"), F.col(bytes_col).alias("_b2"))
+    return (
+        pairs.join(b1, "id1")
+        .join(b2, "id2")
+        .withColumn("snr_db", pairwise_snr_udf(F.col("_b1"), F.col("_b2")))
+        .filter(F.col("snr_db") >= snr_threshold_db)
+        .select("id1", "id2", "n_matches", "snr_db")
+    )
