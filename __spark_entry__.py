@@ -1480,6 +1480,24 @@ FROM corpus a JOIN corpus b
 """
 
 
+def q33_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k at nprobe == n_lists, the provably-
+    exact configuration (every query/vector pair rescored exactly once),
+    against the same brute-force SQL oracle as q10 — the driver-checked
+    anchor that the IVF plumbing (sampled spherical-k-means training,
+    list assignment, probe join, rescoring) loses nothing.  Recall at
+    nprobe < n_lists (the actual scale regime: scan fraction
+    nprobe/n_lists) is measured in tests/test_ann.py."""
+    from text_similarity_node_spark.operators.ann import cosine_topk_ivf
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(
+        emb, queries, id_col="vec_id", vec_col="embedding",
+        k=5, n_lists=16, nprobe=16,
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1524,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_char_cosine_pairs": q30_char_cosine_pairs,
         "q31_simhash_recall_audit": q31_simhash_recall_audit,
         "q32_audio_fingerprint_pairs": q32_audio_fingerprint_pairs,
+        "q33_ann_ivf": q33_ann_ivf,
     }
 
 
@@ -1558,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         "q30_char_cosine_pairs": _Q30_SQL,
         "q31_simhash_recall_audit": _Q31_SQL,
         "q32_audio_fingerprint_pairs": _Q32_SQL,
+        "q33_ann_ivf": _Q10_SQL,  # full-probe IVF == brute force exactly
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks and pytest

@@ -85,3 +85,32 @@ def test_embedding_neardup_salted_equals_unsalted(spark, emb):
     salted = pairs(hot_threshold=0)
     assert unsalted  # threshold 0.3 on sf0.01 embeddings yields pairs
     assert salted == unsalted
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    """IVF at realistic nprobe: recall@5 vs the exact baseline improves
+    with nprobe and reaches 1.0 at full probe (the oracle-checked anchor
+    is q33; here the approximate regime is measured)."""
+    from text_similarity_node_spark.operators.ann import (
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    cents = train_ivf_centroids(emb, "vec_id", "embedding", n_lists=16)
+    recalls = {}
+    for nprobe in (2, 4, 16):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in cosine_topk_ivf(
+                emb, queries, k=5, n_lists=16, nprobe=nprobe, centroids=cents
+            ).collect()
+        }
+        recalls[nprobe] = len(got & exact) / len(exact)
+    assert recalls[16] == 1.0, recalls
+    assert recalls[4] >= recalls[2] - 0.05, recalls  # monotone-ish in nprobe
+    assert recalls[4] >= 0.6, recalls  # probing 1/4 of lists finds most of top-5

@@ -1,16 +1,24 @@
 """Approximate nearest neighbor over embedding columns.
 
-Two paths (training-data pipeline ops):
+Three paths (training-data pipeline ops):
 
 * ``cosine_topk_bruteforce`` — the exact baseline: broadcast the (small)
   query set, JVM-side dot products (zip_with + aggregate), window top-k.
   O(N * Q); right whenever Q is small — and the plan the optimizer would
   pick anyway at that shape (one scan, no shuffle of the corpus).
-* ``cosine_topk_lsh`` — the scale path: random-hyperplane signatures bucket
-  the corpus; each query probes only its own bucket (plus multi-probe
-  neighbors at Hamming distance 1), turning O(N*Q) into O(N/2^b * Q) at a
-  measured recall cost.  Hyperplanes are seeded and broadcast — fully
-  deterministic.
+* ``cosine_topk_lsh`` — data-independent scale path: random-hyperplane
+  signatures bucket the corpus; each query probes only its own bucket
+  (plus multi-probe neighbors at Hamming distance 1), turning O(N*Q) into
+  O(N/2^b * Q) at a measured recall cost.  Hyperplanes are seeded and
+  broadcast — fully deterministic.
+* ``cosine_topk_ivf`` — data-ADAPTIVE scale path (inverted-file index):
+  spherical k-means centroids trained on a deterministic driver-side
+  sample (the FAISS convention — the coarse quantizer needs only a
+  sample), every corpus vector assigned to its nearest list once, each
+  query probes its ``nprobe`` nearest lists.  O(N * nprobe / n_lists * Q)
+  scored pairs; recall measured vs brute force, and nprobe == n_lists
+  provably equals brute force (every pair scored exactly once) — the
+  correctness anchor the driver oracle checks.
 """
 
 from __future__ import annotations
@@ -97,6 +105,135 @@ def rhp_buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int):
         return pd.Series(out)
 
     return udf
+
+
+def _spherical_kmeans(X: np.ndarray, k: int, n_iters: int, seed: int) -> np.ndarray:
+    """Lloyd's iterations with cosine assignment (rows of X and the
+    centroids are L2-normalized each pass).  Deterministic: seeded init,
+    empty lists reseeded from the farthest point."""
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    if len(cents) < k:  # degenerate tiny sample: pad with jittered copies
+        pad = X[rng.randint(0, len(X), size=k - len(cents))]
+        cents = np.vstack([cents, pad + 1e-6])
+    for _ in range(n_iters):
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        assign = np.argmax(X @ cents.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+            else:
+                sims = np.max(X @ cents.T, axis=1)
+                cents[j] = X[int(np.argmin(sims))]
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    max_train: int = 65_536,
+    n_iters: int = 20,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic driver-side sample -> spherical k-means centroids.
+    The sample is hash-selected on the id (order-independent, survives
+    repartitioning) and capped at ``max_train`` rows sorted by id — a
+    coarse quantizer needs only a representative sample regardless of
+    corpus size, so this is O(max_train * dim) driver memory at any
+    scale."""
+    sample = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .withColumn("_h", F.pmod(F.xxhash64(F.col("_id")), F.lit(1_000_003)))
+        .orderBy("_h", "_id")
+        .limit(max_train)
+    )
+    X = np.asarray([r["_v"] for r in sample.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
+    return _spherical_kmeans(X, n_lists, n_iters, seed)
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """vec -> array of the ``nprobe`` nearest centroid list ids (cosine
+    order).  Centroids ship to executors by closure (a few KB)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def udf(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append([])
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(x)
+            if n > 0:
+                x = x / n
+            sims = cents @ x
+            top = np.argsort(-sims)[:nprobe]
+            out.append([int(t) for t in top])
+        return pd.Series(out)
+
+    return udf
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 20,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF top-k: corpus vectors live in exactly one inverted list; each
+    query exactly rescores the vectors in its ``nprobe`` nearest lists.
+    ``nprobe == n_lists`` degenerates to brute force (every query/vector
+    pair scored once) — the oracle-checked anchor; smaller nprobe trades
+    recall for a 1/(n_lists/nprobe) scan fraction (measured in
+    tests/test_ann.py)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, id_col, vec_col, n_lists, n_iters=n_iters, seed=seed
+        )
+    assign1 = ivf_assign_udf(centroids, nprobe=1)
+    assignp = ivf_assign_udf(centroids, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("list_id", F.element_at(assign1(F.col("v")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("list_id", F.explode(assignp(F.col("qv"))))
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(C.cosine_sim_vec(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def cosine_topk_lsh(
