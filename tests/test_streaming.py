@@ -108,3 +108,42 @@ def test_batch_time_flat_as_history_grows(spark, dirs):
         f"batch time grew with history: {t_small_hist:.1f}s -> "
         f"{t_big_hist:.1f}s"
     )
+
+
+def test_compaction_preserves_results_and_bounds_files(spark, dirs):
+    """compact_stores shrinks the stores' file counts without changing
+    subsequent dedup results."""
+    import glob
+
+    src, state, ckpt = dirs
+    cfg = PipelineConfig(verify_threshold=0.8, run_id="stream_compact")
+    dedup = IncrementalDedup(spark, cfg, state)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    for i, name in enumerate(["k1", "k2", "k3"]):
+        _write_batch(
+            spark, src,
+            [(f"x{i}", f"totally unrelated words number {i} here we go now"),
+             (f"y{i}", base + f" tail {i}")],
+            name,
+        )
+        q = dedup.start(src + "/*", SCHEMA, ckpt)
+        q.awaitTermination(120)
+
+    def n_files(p):
+        return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    before = n_files(dedup.bands_path) + n_files(dedup.docs_path)
+    dedup.compact_stores()
+    after = n_files(dedup.bands_path) + n_files(dedup.docs_path)
+    assert after < before
+
+    # a post-compaction batch still matches against full history
+    # (" tail 9" keeps multiset-J vs "base + tail 0" ~0.97, above the
+    # 0.8 verify threshold — a longer divergent suffix would dilute J
+    # below it and test nothing)
+    _write_batch(spark, src, [("z9", base + " tail 9")], "k4")
+    q = dedup.start(src + "/*", SCHEMA, ckpt)
+    q.awaitTermination(120)
+    pairs = {(r.id1, r.id2) for r in dedup.verified_pairs().collect()}
+    assert any("z9" in p and "y0" in p for p in pairs), pairs

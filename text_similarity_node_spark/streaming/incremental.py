@@ -174,6 +174,41 @@ class IncrementalDedup:
         new_docs.unpersist()
         cand.unpersist()
 
+    def compact_stores(self, target_files_per_partition: int = 1) -> None:
+        """Rewrite the band and doc stores to bounded file counts: each
+        micro-batch appends its own small parquet files, and after many
+        batches the footer-read overhead (one per file per scan) starts to
+        dominate the history probe.  Compaction preserves layout
+        invariants — bands stay hash-partitioned on bh_part and sorted by
+        band_hash, docs stay sorted by clip_id (the row-group-skipping
+        contract of the isin pushdown).  Run it between drains (it must
+        not race an active process_batch); atomic via write-new + rename,
+        same as the catalog's checkpoint writes."""
+        import shutil
+        import uuid
+
+        spark = self.spark
+        for path, part_cols, sort_col in (
+            (self.bands_path, ["bh_part"], "band_hash"),
+            (self.docs_path, [], "clip_id"),
+        ):
+            if not self._store_exists(path):
+                continue
+            df = spark.read.parquet(path)
+            tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+            writer = (
+                df.repartition(target_files_per_partition, *part_cols)
+                if part_cols
+                else df.coalesce(target_files_per_partition)
+            ).sortWithinPartitions(sort_col).write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp)
+            old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+
     def start(self, source_dir: str, schema: str, checkpoint_dir: str):
         stream = (
             self.spark.readStream.schema(schema).parquet(source_dir)
