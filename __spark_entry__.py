@@ -675,21 +675,21 @@ def q16_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_pairs_multiset_jaccard_arrays,
     )
 
+    n_distinct, n_total = minhash.token_stats_cols(F.col("tokens"))
     sig = (
         minhash.with_minhash(docs, "tokens", cfg)
-        .withColumn("rep_bound", minhash.rep_bound_col(F.col("tokens")))
-        .localCheckpoint(eager=False)  # ContextCleaner-managed, no persist leak
+        .withColumn("n_distinct", n_distinct)
+        .withColumn("n_total", n_total)
+        .select("doc_id", "minhash", "n_distinct", "n_total")
+        .persist()  # GC'd plans are unpersisted by the ContextCleaner
     )
     bands = minhash.explode_bands(sig.select("doc_id", "minhash"), "doc_id", "minhash", cfg)
     pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col="doc_id")
     # multiset-sound signature-agreement prefilter before the gram join:
-    # the set-space gate is scaled by each pair's repetition bound
-    # (J_multi <= min(m1,m2) * J_set), so dropped candidates provably
-    # cannot pass the exact multiset verify (margin covers estimator
-    # variance) — shrinking the verify input is the dominant win at scale.
-    pairs = minhash.prefilter_candidates(
-        pairs, sig.select("doc_id", "minhash", "rep_bound"), cfg, id_col="doc_id"
-    )
+    # dropped candidates provably cannot pass the exact multiset verify
+    # (the per-pair bound M/(T1+T2-M), margin covers estimator variance)
+    # — shrinking the verify input is the dominant win at scale.
+    pairs = minhash.prefilter_candidates(pairs, sig, cfg, id_col="doc_id")
     # array-merge verify (exact-equal to the inverted-index shape, proven
     # by direct comparison; see operators/verify.py for when each wins)
     verified = verify_pairs_multiset_jaccard_arrays(
@@ -1390,7 +1390,7 @@ def q31_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = verify_pairs_multiset_jaccard_arrays(
         allpairs, docs, "doc_id", "tokens", 0.7
-    ).select("id1", "id2").localCheckpoint(eager=False)
+    ).select("id1", "id2").persist()
     cfg = PipelineConfig(hamming_radius=10)
     sk = simhash.with_simhash(docs, "tokens")
     cand = simhash.simhash_candidates(

@@ -139,12 +139,15 @@ def _prefilter_fixture(spark, docs_rows, pair_rows):
 
     cfg = PipelineConfig(verify_threshold=0.9)
     docs = spark.createDataFrame(docs_rows, "clip_id string, tokens array<string>")
-    sig = minhash.with_minhash(docs, "tokens", cfg).withColumn(
-        "rep_bound", minhash.rep_bound_col(F.col("tokens"))
+    n_distinct, n_total = minhash.token_stats_cols(F.col("tokens"))
+    sig = (
+        minhash.with_minhash(docs, "tokens", cfg)
+        .withColumn("n_distinct", n_distinct)
+        .withColumn("n_total", n_total)
     )
     pairs = spark.createDataFrame(pair_rows, "id1 string, id2 string")
     kept = minhash.prefilter_candidates(
-        pairs, sig.select("clip_id", "minhash", "rep_bound"), cfg
+        pairs, sig.select("clip_id", "minhash", "n_distinct", "n_total"), cfg
     )
     return {(r.id1, r.id2) for r in kept.collect()}
 
@@ -153,8 +156,8 @@ def test_prefilter_keeps_repeated_gram_true_positive(spark):
     """Regression for the set-vs-multiset gap: A={a x100,b}, B={a x100,c}
     has multiset J = 100/102 ~ 0.98 (passes verify at 0.9) but set J = 1/3
     — a flat set-space gate (0.9 - 0.25 = 0.65) silently drops the true
-    positive.  The rep_bound-scaled gate (0.9/100 - 0.25 < 0) must keep
-    it."""
+    positive.  The sound bound M/(T1+T2-M) with M = c + min(T-s) evaluates
+    to ~0.99 here and must keep it."""
     a = ["a"] * 100 + ["b"]
     b = ["a"] * 100 + ["c"]
     kept = _prefilter_fixture(spark, [("A", a), ("B", b)], [("A", "B")])
@@ -162,8 +165,8 @@ def test_prefilter_keeps_repeated_gram_true_positive(spark):
 
 
 def test_prefilter_still_drops_unrelated_pairs(spark):
-    """Repeat-free unrelated docs (rep_bound 1, true set-J 0) must still be
-    dropped — the scaling must not neuter the filter."""
+    """Repeat-free unrelated docs (T == s, true set-J 0) must still be
+    dropped — the repetition allowance must not neuter the filter."""
     a = [f"x{i}" for i in range(50)]
     b = [f"y{i}" for i in range(50)]
     kept = _prefilter_fixture(spark, [("A", a), ("B", b)], [("A", "B")])

@@ -113,14 +113,15 @@ class PipelineConfig:
     lsh_bands: int = 25
     lsh_rows: int = 5
     minhash_seed: int = 42
-    # Candidate prefilter: drop pairs whose signature-agreement estimate of
-    # set-Jaccard is below verify_threshold / rep_bound - margin, where
-    # rep_bound = min over the pair of (|tokens| - |distinct tokens| + 1)
-    # upper-bounds the multiset-vs-set Jaccard gap exactly
-    # (J_multi <= min(m1,m2) * J_set — see minhash.prefilter_candidates),
-    # so the margin only needs to cover MinHash estimator noise
-    # (sigma = sqrt(J(1-J)/k) ~= 0.04 at k=125).  0.25 is ~5.5 sigma —
-    # pairs killed here cannot pass the exact multiset verify; 0 disables.
+    # Candidate prefilter: drop pairs whose PROVABLE multiset-Jaccard
+    # upper bound M/(T1+T2-M) (M = estimated common-distinct count +
+    # min(T-s); see minhash.prefilter_candidates) is below
+    # verify_threshold.  On repeat-free docs this is exactly the set-J
+    # gate; repetition loosens it only as much as soundness requires.
+    # The margin covers MinHash estimator noise on the common-count
+    # estimate (sigma = sqrt(J(1-J)/k) ~= 0.04 at k=125; 0.25 is ~5.5
+    # sigma) — pairs killed here cannot pass the exact multiset verify;
+    # 0 disables the filter.
     minhash_prefilter_margin: float = 0.25
     # Exact-duplicate canonicalization: group byte-identical transcripts
     # before candidate generation (identical strings are similarity 1.0 by

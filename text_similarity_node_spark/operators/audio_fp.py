@@ -155,7 +155,7 @@ def audio_fingerprint_pairs(
             audio_landmarks_udf(**landmark_kwargs)(F.col(bytes_col), F.col(sr_col))
         ).alias("h"),
     ).distinct()
-    lm = lm.localCheckpoint(eager=False)  # counts + both join sides
+    lm = lm.persist()  # counts + both join sides (GC-cleaned)
     counts = lm.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
     hot = counts.filter(F.col("n_docs") > hash_cap)
     kept = lm.join(F.broadcast(hot.select("h")), "h", "left_anti")

@@ -88,7 +88,7 @@ def embedding_neardup(
     v = df.select(
         F.col(id_col).alias("rid"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("bucket", bucket(F.col("v")))
-    v = v.localCheckpoint(eager=False)  # consumed by counts + both join sides
+    v = v.persist()  # consumed by counts + both join sides (GC-cleaned)
     probes = v.withColumn(
         "pbucket",
         F.explode(

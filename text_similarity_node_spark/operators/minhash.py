@@ -138,14 +138,15 @@ def minhash_agreement_col(s1, s2, k: int):
     return F.size(F.array_intersect(s1, s2)).cast("double") / float(k)
 
 
-def rep_bound_col(tokens_col) -> Column:
-    """Upper bound on a document's max gram multiplicity:
-    ``|tokens| - |distinct(tokens)| + 1`` (native JVM expressions, no
-    shuffle).  Used to make the set-space prefilter sound for the MULTISET
-    verify metric — see prefilter_candidates."""
+def token_stats_cols(tokens_col) -> tuple[Column, Column]:
+    """(n_distinct, n_total) of a token array — native JVM expressions, no
+    shuffle.  Carried on the signature table to make the set-space
+    prefilter sound for the MULTISET verify metric (see
+    prefilter_candidates)."""
     return (
-        F.size(tokens_col) - F.size(F.array_distinct(tokens_col)) + F.lit(1)
-    ).cast("int")
+        F.size(F.array_distinct(tokens_col)).cast("int"),
+        F.size(tokens_col).cast("int"),
+    )
 
 
 def prefilter_candidates(
@@ -158,53 +159,66 @@ def prefilter_candidates(
     Jaccard verify, using the estimated SET-Jaccard (signature slot
     agreement).
 
-    The two metrics diverge when shared grams repeat: for multisets A, B
-    with per-gram counts c, J_multi = sum(min c)/sum(max c) can exceed
-    J_set without bound (A={a x100,b}, B={a x100,c}: 0.98 vs 0.33).  The
-    sound per-pair bound: every common gram contributes at most
-    min(m1, m2) to sum(min c), where m_i is doc i's max gram multiplicity,
-    and sum(max c) >= |set union| — so J_multi <= min(m1, m2) * J_set,
-    i.e. J_set >= threshold / min(m1, m2) is necessary.  The gate scales
-    by the per-pair repetition bound (``rep_bound`` column on signatures,
-    from rep_bound_col; missing column = bound 1, the repeat-free case),
-    with the margin still covering MinHash estimator variance
-    (std ~ 0.5/sqrt(k)).  Sentinel (empty-token) signatures carry no
-    information and bypass the filter — the exact verify decides them.
-    Lossless-by-construction is asserted by the repeated-gram regression
-    test in tests/test_minhash.py."""
+    The two metrics diverge when shared grams repeat: with per-gram counts
+    c, J_multi = sum(min c)/sum(max c) can exceed J_set without bound
+    (A={a x100,b}, B={a x100,c}: 0.98 vs 0.33), so a flat set-space gate
+    silently drops repeated-gram true positives.  The sound per-pair
+    bound used here (s_i = |distinct|, T_i = |total|, c = |common
+    distinct|):
+
+        M := sum over common g of min(cA, cB)  <=  c + min(T1-s1, T2-s2)
+            (each of the s_i - c non-common distinct grams consumes at
+             least one of doc i's T_i tokens)
+        sum(min) + sum(max) = T1 + T2   (min+max = a+b per gram)
+        =>  J_multi = M / (T1+T2-M)  <=  Mhi / (T1+T2-Mhi)
+            (the rhs is increasing in M; Mhi <= min(T1,T2) always)
+
+    On repeat-free docs (T == s) this degenerates to exactly the set-J
+    gate (full round-1 selectivity), and it loosens only as fast as true
+    repetition requires — a cruder max-multiplicity bound (T-s+1) was
+    measured to neuter the filter entirely and ~double pipeline cost.
+    c is upper-bounded from the agreement estimate via
+    c = J(s1+s2)/(1+J) (increasing in J, J <= est + margin) and by
+    min(s1, s2).  Requires ``n_distinct``/``n_total`` columns on
+    signatures (token_stats_cols); without them the repeat-free bound
+    (J_multi <= J_set) applies.  Sentinel (empty-token) signatures carry
+    no information and bypass the filter — the exact verify decides them.
+    Soundness is asserted by the repeated-gram regression test in
+    tests/test_banded_and_agreement.py."""
     if cfg.minhash_prefilter_margin <= 0:
         return pairs
-    has_rb = "rep_bound" in signatures.columns
+    has_ts = {"n_distinct", "n_total"} <= set(signatures.columns)
     cols1 = [F.col(id_col).alias("id1"), F.col("minhash").alias("_sig1")]
     cols2 = [F.col(id_col).alias("id2"), F.col("minhash").alias("_sig2")]
-    if has_rb:
-        cols1.append(F.col("rep_bound").alias("_rb1"))
-        cols2.append(F.col("rep_bound").alias("_rb2"))
+    if has_ts:
+        cols1 += [F.col("n_distinct").alias("_s1"), F.col("n_total").alias("_t1")]
+        cols2 += [F.col("n_distinct").alias("_s2"), F.col("n_total").alias("_t2")]
     s1 = signatures.select(*cols1)
     s2 = signatures.select(*cols2)
-    rb = (
-        F.greatest(F.least(F.col("_rb1"), F.col("_rb2")), F.lit(1))
-        if has_rb
-        else F.lit(1)
-    )
-    min_est = (
-        F.lit(cfg.verify_threshold) / rb.cast("double")
-        - F.lit(cfg.minhash_prefilter_margin)
-    )
+    est = minhash_agreement_col(F.col("_sig1"), F.col("_sig2"), cfg.minhash_k)
+    est_hi = F.least(est + F.lit(cfg.minhash_prefilter_margin), F.lit(1.0))
+    if has_ts:
+        c_hi = F.least(
+            est_hi * (F.col("_s1") + F.col("_s2")) / (F.lit(1.0) + est_hi),
+            F.least(F.col("_s1"), F.col("_s2")).cast("double"),
+        )
+        m_hi = c_hi + F.least(
+            F.col("_t1") - F.col("_s1"), F.col("_t2") - F.col("_s2")
+        ).cast("double")
+        tt = (F.col("_t1") + F.col("_t2")).cast("double")
+        jm_bound = m_hi / (tt - m_hi)
+    else:
+        jm_bound = est_hi
     sentinel = (F.element_at(F.col("_sig1"), 1) == -1) | (
         F.element_at(F.col("_sig2"), 1) == -1
     )
     out = (
         pairs.join(s1, "id1")
         .join(s2, "id2")
-        .withColumn(
-            "_est",
-            minhash_agreement_col(F.col("_sig1"), F.col("_sig2"), cfg.minhash_k),
-        )
-        .filter(sentinel | (F.col("_est") >= min_est))
-        .drop("_sig1", "_sig2", "_est")
+        .filter(sentinel | (jm_bound >= F.lit(cfg.verify_threshold)))
+        .drop("_sig1", "_sig2")
     )
-    return out.drop("_rb1", "_rb2") if has_rb else out
+    return out.drop("_s1", "_s2", "_t1", "_t2") if has_ts else out
 
 
 def band_hashes(sig_col: Column, bands: int, rows: int) -> Column:

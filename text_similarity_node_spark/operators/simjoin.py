@@ -48,11 +48,11 @@ def prefix_filter_jaccard_join(
     # Materialize once: the plan below references `toks` four times (flat /
     # both verify sides) and the prefix subtree twice (candidate self-join);
     # without a cut Spark recomputes the tokenize+rank pipeline per branch
-    # (measured 34 s -> ~13 s at sf0.1).  localCheckpoint rather than
-    # persist: blocks are dropped by the ContextCleaner when the plan is
-    # GC'd, so a long driver session doesn't accrete executor storage the
-    # way an unmatched persist() does.
-    toks = toks.localCheckpoint(eager=False)
+    # (measured 34 s -> ~13 s at sf0.1).  persist, not localCheckpoint:
+    # checkpointing writes partitions to executor disk and the write
+    # serializes on shared-disk hardware; the ContextCleaner unpersists
+    # the blocks when the plan is GC'd, so there is no storage leak.
+    toks = toks.persist()
 
     flat = toks.select("rid", "sz", *groups, F.explode("toks").alias("tok"))
     freq = flat.groupBy("tok", *groups).agg(F.count(F.lit(1)).alias("df"))
@@ -73,7 +73,7 @@ def prefix_filter_jaccard_join(
         F.col("rank") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select("rid", "sz", *groups, "tok")
     # second cut: the self-join would otherwise evaluate freq+window twice
-    prefix = prefix.localCheckpoint(eager=False)
+    prefix = prefix.persist()
 
     a, b = prefix.alias("a"), prefix.alias("b")
     join_cond = (

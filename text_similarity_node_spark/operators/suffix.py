@@ -111,9 +111,10 @@ def containment_candidates(
     ).distinct()
     if return_metrics:
         # the metrics aggregate and the pair join both consume fps; without
-        # this the fingerprint UDF runs twice.  localCheckpoint so the
-        # blocks are ContextCleaner-managed (no unmatched-persist leak).
-        fps = fps.localCheckpoint(eager=False)
+        # this the fingerprint UDF runs twice.  persist, not localCheckpoint
+        # (disk write serializes on shared-disk hardware); the
+        # ContextCleaner unpersists the blocks once the plan is GC'd.
+        fps = fps.persist()
     counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
     # anti-join against the (small) hot set — broadcasting the keep-set
     # would ship every distinct fingerprint to every executor

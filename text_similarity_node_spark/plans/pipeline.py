@@ -233,11 +233,12 @@ class NearDupPipeline:
             )
             sig = minhash.with_minhash(docs, "tokens", cfg)
             sig = simhash.with_simhash(sig, "tokens")
-            # rep_bound makes the set-space prefilter sound for the
-            # multiset verify (see minhash.prefilter_candidates)
+            # (n_distinct, n_total) make the set-space prefilter sound for
+            # the multiset verify (see minhash.prefilter_candidates)
+            n_distinct, n_total = minhash.token_stats_cols(F.col("tokens"))
             return sig.select(
                 "clip_id", "minhash", "simhash",
-                minhash.rep_bound_col(F.col("tokens")).alias("rep_bound"),
+                n_distinct.alias("n_distinct"), n_total.alias("n_total"),
             )
 
         signatures = self._stage("signatures", build_signatures, rep_ids)
@@ -247,7 +248,7 @@ class NearDupPipeline:
         # band join emits a quadratic noise mass on self-similar corpora
         # (46.7M pairs for 200k clips measured) and checkpointing it makes
         # the stage disk-bound — the write doesn't parallelize with cores.
-        # Prefiltered pairs (est set-J >= threshold / rep_bound - margin,
+        # Prefiltered pairs (multiset-Jaccard upper bound >= threshold,
         # multiset-sound — see minhash.prefilter_candidates) are what any
         # downstream consumer can use; the margin is logged, never silent.
         def build_lsh_pairs():
