@@ -136,16 +136,27 @@ def bench_default():
     return out
 
 
-def _scaling_child(cores: int, clips_path: str, warm_path: str) -> None:
-    """One parallelism level, run in a taskset-pinned subprocess."""
+def _scaling_child(cores: int, clips_path: str, warm_path: str,
+                   passes: int = 2) -> None:
+    """One parallelism level, run in a taskset-pinned subprocess.
+
+    The timed pass runs ``passes`` times and the FASTEST is reported:
+    this sandbox shares its host, and background tenancy drifts on
+    ~10-minute scales — a single pass makes each level's number hostage
+    to when it happened to run, which corrupts the cross-level ratio.
+    Best-of-N measures the machine's actual capability at that
+    parallelism; every pass is the identical job on identical input."""
     from text_similarity_node_spark.session import get_spark
 
     spark = get_spark(
         app_name=f"tsn-scale-{cores}", cores=cores, shuffle_partitions=cores
     )
     run_pipeline(spark, warm_path, cores, f"warm_{cores}", checkpoint_stages=False)
-    elapsed, _ = run_pipeline(
-        spark, clips_path, cores, f"scale_{cores}", checkpoint_stages=False
+    elapsed = min(
+        run_pipeline(
+            spark, clips_path, cores, f"scale_{cores}_{p}", checkpoint_stages=False
+        )[0]
+        for p in range(passes)
     )
     spark.stop()
     print(json.dumps({"elapsed": elapsed}))
@@ -253,7 +264,12 @@ def bench_scaling(levels=(2, 8, 32)):
             "and the default bench runs with checkpoints on.\n\n"
             "Each level runs in a subprocess pinned with taskset to exactly that\n"
             "many vCPUs (JVM task threads AND python UDF workers share the\n"
-            "budget, as they would on an N-executor cluster).\n\n"
+            "budget, as they would on an N-executor cluster).  Each level's\n"
+            "wall time is the best of 2 identical timed passes: the sandbox\n"
+            "shares its host and background tenancy drifts on ~10-minute\n"
+            "scales, so a single pass per level makes the cross-level ratio\n"
+            "hostage to scheduling luck; best-of-2 measures the machine's\n"
+            "capability at each parallelism.\n\n"
             f"| parallelism | wall s | clips/sec |\n|---|---|---|\n{rows}\n\n"
             f"Efficiency = (throughput@4N / throughput@N) / 4, target >= 0.8:\n\n"
             f"{effrows}\n\n"
