@@ -152,14 +152,19 @@ def _scaling_child(cores: int, clips_path: str, warm_path: str,
         app_name=f"tsn-scale-{cores}", cores=cores, shuffle_partitions=cores
     )
     run_pipeline(spark, warm_path, cores, f"warm_{cores}", checkpoint_stages=False)
-    elapsed = min(
-        run_pipeline(
+    times = []
+    for p in range(passes):
+        # drop every persisted stage output from the previous pass: the
+        # CacheManager matches structurally-equal plans, so without this a
+        # repeat pass silently reuses the prior pass's cached stages and
+        # measures nothing
+        spark.catalog.clearCache()
+        t, _ = run_pipeline(
             spark, clips_path, cores, f"scale_{cores}_{p}", checkpoint_stages=False
-        )[0]
-        for p in range(passes)
-    )
+        )
+        times.append(t)
     spark.stop()
-    print(json.dumps({"elapsed": elapsed}))
+    print(json.dumps({"elapsed": min(times), "passes": times}))
 
 
 def bench_scaling(levels=(2, 8, 32)):
