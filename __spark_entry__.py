@@ -1498,6 +1498,50 @@ def q33_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def q34_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-content near-dup pairs via 64-bit perceptual hash + the
+    engine's pigeonhole Hamming banding (operators/image.py) — binary
+    column in, no pixel ever shuffled.  Corpus: one deterministic 64x64
+    raw_rgb8 block-pattern image per doc (class = doc_id % 40) plus
+    seeded noisy re-captures at doc_id + 1_000_000 for doc_id % 6 == 0.
+    Two images depict the same pattern iff their ids are congruent mod
+    40 — the brute-force SQL oracle.  Exactness: measured pHash
+    separation on this family is intra-class Hamming <= 4 vs
+    inter-class >= 19, so radius 6 recovers precisely the same-class
+    pairs (recall and precision both 1.0)."""
+    from text_similarity_node_spark.operators.image import (
+        image_neardup,
+        synth_image_udf,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_image_udf()
+    corpus = (
+        base.unionByName(copies)
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn("codec", F.lit("raw_rgb8"))
+    )
+    pairs = image_neardup(corpus, "doc_id", "bytes", hamming_radius=6)
+    return pairs.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q34_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 6 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM corpus a JOIN corpus b
+  ON a.doc_id < b.doc_id AND a.doc_id % 40 = b.doc_id % 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1543,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_simhash_recall_audit": q31_simhash_recall_audit,
         "q32_audio_fingerprint_pairs": q32_audio_fingerprint_pairs,
         "q33_ann_ivf": q33_ann_ivf,
+        "q34_image_phash_pairs": q34_image_phash_pairs,
     }
 
 
@@ -1578,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "q31_simhash_recall_audit": _Q31_SQL,
         "q32_audio_fingerprint_pairs": _Q32_SQL,
         "q33_ann_ivf": _Q10_SQL,  # full-probe IVF == brute force exactly
+        "q34_image_phash_pairs": _Q34_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks and pytest
