@@ -61,3 +61,54 @@ def test_fingerprint_pairs_cap_is_metered(spark):
     assert pairs.count() == 0
     assert hot.count() > 0
     assert {"h", "n_docs"} <= set(hot.columns)
+
+
+def test_multimodal_neardup_catches_corrupted_transcripts(spark):
+    """Replace some dup-cluster members' transcripts with garbage
+    (simulating transcription failure): the text path alone misses those
+    pairs, the audio path recovers them, and the multimodal union
+    clusters everything back to the planted truth."""
+    from pyspark.sql import functions as F2
+
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators.dedup import (
+        multimodal_neardup,
+        neardup_dedup,
+    )
+
+    clips, truth = generate_clips(spark, ClipsSpec(n_clips=300, seed=21))
+    # corrupt every 5th clip's transcript (deterministic).  The garbage
+    # must be mutually DISSIMILAR — a shared "transcription failed ..."
+    # template would make the corrupted clips near-dups of each other in
+    # text space; a per-clip sha2 hex blob keeps pairwise multiset-J ~0.
+    corrupted = clips.withColumn(
+        "transcript",
+        F2.when(
+            F2.xxhash64("clip_id") % 5 == 0,
+            F2.sha2(F2.concat(F2.col("clip_id"), F2.lit("corrupt")), 256),
+        ).otherwise(F2.col("transcript")),
+    ).cache()
+    cfg = PipelineConfig(
+        verify_threshold=0.8, hot_band_threshold=100, salt_buckets=4,
+        run_id="mm",
+    )
+
+    def clusters_of(df):
+        out = {}
+        for r in df.select("clip_id", "cluster_id").collect():
+            out.setdefault(r.cluster_id, set()).add(r.clip_id)
+        return {frozenset(v) for v in out.values() if len(v) > 1}
+
+    want = {}
+    for r in truth.collect():
+        want.setdefault(r.true_cluster_id, set()).add(r.clip_id)
+    want = {frozenset(v) for v in want.values() if len(v) > 1}
+
+    text_only = clusters_of(
+        neardup_dedup(corrupted, "clip_id", "transcript", cfg)
+    )
+    multi = clusters_of(
+        multimodal_neardup(corrupted, cfg, audio_fp_kwargs=FP_KW)
+    )
+    assert text_only != want  # corruption really breaks the text path
+    assert multi == want      # the audio edges repair it

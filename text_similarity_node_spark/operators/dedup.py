@@ -51,12 +51,74 @@ def neardup_dedup(
     verified = verify.verify_pairs_multiset_jaccard(
         pairs, docs, "rid", "tokens", cfg.verify_threshold
     ).select("id1", "id2")
-    comp = connected_components(verified, max_iterations=cfg.cc_max_iterations)
+    comp = connected_components(
+        verified, max_iterations=cfg.cc_max_iterations
+    ).withColumnRenamed("clip_id", "_cc_id")
     return (
-        df.join(comp, df[id_col] == comp.clip_id, "left")
-        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
-        .withColumn("is_duplicate", F.col(id_col) != F.col("cluster_id"))
-        .drop("clip_id")
+        df.join(comp, df[id_col] == F.col("_cc_id"), "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", df[id_col]))
+        .withColumn("is_duplicate", df[id_col] != F.col("cluster_id"))
+        .drop("_cc_id")
+    )
+
+
+def multimodal_neardup(
+    clips: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "clip_id",
+    text_col: str = "transcript",
+    bytes_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    snr_threshold_db: float = 20.0,
+    audio_fp_kwargs: dict | None = None,
+) -> DataFrame:
+    """Cross-modal near-dup clustering: a pair is an edge if EITHER its
+    transcripts pass the exact multiset-Jaccard verify (MinHash/LSH
+    candidates) OR its waveforms pass the exact SNR verify (spectral-
+    landmark candidates).  The union is what a real ingest pipeline
+    needs: re-transcribed or transcription-corrupted copies of the same
+    recording are invisible to the text path and caught by the audio
+    path, and text-only duplicates (same words, different speakers) are
+    invisible to the audio path — connected components over the union
+    clusters both.  Returns clips + (cluster_id, is_duplicate); each
+    edge's modality provenance is in the intermediate union (via
+    collect_set, one row per pair).  Scale shape: the two candidate
+    paths share the
+    column-pruning discipline (BLOB only enters the audio UDF stage and
+    the SNR verify of candidate pairs; transcripts only the shingle
+    stage); the edge union is a plain distinct."""
+    from .audio_fp import audio_neardup
+
+    docs = clips.select(
+        F.col(id_col).alias("rid"),
+        C.char_ngrams(F.col(text_col), cfg.ngram_size).alias("tokens"),
+    )
+    sig = minhash.with_minhash(docs, "tokens", cfg)
+    bands = minhash.explode_bands(sig, "rid", "minhash", cfg)
+    pairs, _ = lsh.candidate_pairs(bands, cfg, id_col="rid")
+    text_edges = verify.verify_pairs_multiset_jaccard_arrays(
+        pairs, docs, "rid", "tokens", cfg.verify_threshold
+    ).select("id1", "id2", F.lit("text").alias("via"))
+
+    audio_edges = audio_neardup(
+        clips, id_col, bytes_col, sr_col,
+        snr_threshold_db=snr_threshold_db,
+        **(audio_fp_kwargs or {}),
+    ).select("id1", "id2", F.lit("audio").alias("via"))
+
+    edges = (
+        text_edges.unionByName(audio_edges)
+        .groupBy("id1", "id2")
+        .agg(F.array_join(F.collect_set("via"), ",").alias("matched_via"))
+    )
+    comp = connected_components(
+        edges.select("id1", "id2"), max_iterations=cfg.cc_max_iterations
+    ).withColumnRenamed("clip_id", "_cc_id")
+    return (
+        clips.join(comp, clips[id_col] == F.col("_cc_id"), "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", clips[id_col]))
+        .withColumn("is_duplicate", clips[id_col] != F.col("cluster_id"))
+        .drop("_cc_id")
     )
 
 
