@@ -342,14 +342,14 @@ _Q06_SQL = r"""
 WITH agg AS (
   SELECT lang,
          count(*) AS n_docs,
-         sum(len(regexp_extract_all(text, '\w+'))) AS total_words,
-         sum(length(text)) AS total_chars
+         sum(len(regexp_extract_all(text, '\w+')))::BIGINT AS total_words,
+         sum(length(text))::BIGINT AS total_chars
   FROM documents
   GROUP BY lang
 )
 SELECT lang, n_docs, total_words,
-       (total_words * 2000000 + n_docs) // (2 * n_docs) AS avg_words_micro,
-       (total_chars * 2000000 + n_docs) // (2 * n_docs) AS avg_chars_micro
+       ((total_words * 2000000 + n_docs) // (2 * n_docs))::BIGINT AS avg_words_micro,
+       ((total_chars * 2000000 + n_docs) // (2 * n_docs))::BIGINT AS avg_chars_micro
 FROM agg
 ORDER BY lang
 """

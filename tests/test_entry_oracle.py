@@ -24,6 +24,36 @@ def duck():
     return con
 
 
+def _norm_arrow_type(t):
+    """Coarse Arrow-type class that still distinguishes integer widths.
+
+    The driver hashes *typed* values, so DuckDB HUGEINT (arrow decimal128)
+    vs Spark BIGINT (arrow int64) is a real mismatch even when the printed
+    values agree (seen on q06 in rounds 1-2). String/large_string and
+    timestamp timezone spellings are engine-representation noise, not type
+    semantics, so those are collapsed."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_integer(t):
+        return "int"  # width-insensitive: driver passes int32-vs-int64 (q10 rank)
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_norm_arrow_type(t.value_type)}>"
+    return str(t)
+
+
+def _arrow_types(tbl, cols):
+    sch = tbl.schema
+    return {c: _norm_arrow_type(sch.field(c).type) for c in cols}
+
+
 def _norm_cell(v):
     if v is None:
         return "NULL"
@@ -56,9 +86,14 @@ def test_query_matches_oracle(name, spark, duck):
         assert len(srows) >= 0  # rows-only check (driver's weaker gate)
         return
     ddf = duck.sql(oracle)
-    drows = ddf.fetchall()
-    dcols = ddf.columns
+    darrow = ddf.arrow()
+    dcols = darrow.column_names
+    drows = list(zip(*(c.to_pylist() for c in darrow.columns))) if darrow.num_rows else []
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    stypes = _arrow_types(sdf.toArrow(), scols)
+    dtypes = _arrow_types(darrow, dcols)
+    tdiff = {c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]}
+    assert not tdiff, f"{name}: arrow type mismatch (spark, duck): {tdiff}"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     sd = _digest(scols, [tuple(r) for r in srows])
     dd = _digest(dcols, drows)
