@@ -94,13 +94,14 @@ def phash64(img: np.ndarray) -> int:
     g = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
     g32 = resize_bilinear(np.asarray(g, dtype=np.float64), 32, 32)
     d = _dct2_8x8_of_32(g32).ravel()
-    med = np.median(d[1:])  # skip the DC term for the median, keep 64 bits
-    bits = d > med
-    # >>1 keeps the value in the positive int64 range (bigint column)
+    # classic pHash: drop the DC term entirely; the 63 AC coefficients vs
+    # their median give 63 discriminative bits (naturally positive int64).
+    ac = d[1:]
+    med = np.median(ac)
     word = 0
-    for b in bits:
+    for b in ac > med:
         word = (word << 1) | int(b)
-    return (word >> 1) & 0x7FFFFFFFFFFFFFFF
+    return word
 
 
 def phash_udf(codec_default: str = "raw_rgb8"):

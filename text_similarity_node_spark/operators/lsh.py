@@ -32,12 +32,26 @@ def candidate_pairs(
     bands: DataFrame,
     cfg: PipelineConfig,
     id_col: str = "clip_id",
+    right_bands: DataFrame | None = None,
+    carry_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """bands(id, band_id, band_hash) -> (pairs(id1, id2), band_metrics).
 
     band_metrics rows: (band_id, band_hash, n_rows, disposition) with
-    disposition in {cold, salted, dropped} — the no-silent-caps ledger."""
+    disposition in {cold, salted, dropped} — the no-silent-caps ledger.
+
+    ``right_bands`` (optional) makes the join asymmetric: probe keys come
+    from ``bands``, build keys from ``right_bands`` (e.g. SimHash two-level
+    pigeonhole, where the right side carries 1-bit-flip expansions).  Both
+    sides must share the id space; each unordered pair still meets at least
+    once and dropDuplicates collapses double hits.  Counts/dispositions are
+    taken on the right (expanded) side — that's the fan-out driver.
+
+    ``carry_cols`` (optional) are extra per-row columns carried through the
+    join and emitted as ``{col}_1`` / ``{col}_2`` — saves the caller two
+    corpus-wide joins to re-attach verification payloads (e.g. the sketch)."""
     key = ["band_id", "band_hash"]
+    carry_cols = carry_cols or []
 
     # bands is consumed by the counts aggregate and (twice) by the salted
     # self-join; the persist keeps the upstream signature decode from
@@ -47,20 +61,28 @@ def candidate_pairs(
     # local[32]).  No unpersist leak: the ContextCleaner unpersists the
     # blocks when the plan is GC'd on the driver.
     bands = bands.persist()
-    counts = bands.groupBy(*key).agg(F.count(F.lit(1)).alias("n_rows"))
+    rbands = bands if right_bands is None else right_bands.persist()
+    counts = rbands.groupBy(*key).agg(F.count(F.lit(1)).alias("n_rows"))
     counts = counts.withColumn(
         "disposition",
         F.when(F.col("n_rows") > cfg.band_cap, F.lit("dropped"))
         .when(F.col("n_rows") > cfg.hot_band_threshold, F.lit("salted"))
         .otherwise(F.lit("cold")),
     )
+
     # the non-cold key set is tiny (one row per distinct hot/dropped key)
-    tagged = bands.join(
-        F.broadcast(counts.filter(F.col("disposition") != "cold")), key, "left"
-    )
-    tagged = tagged.withColumn(
-        "disposition", F.coalesce("disposition", F.lit("cold"))
-    ).filter(F.col("disposition") != "dropped")
+    def _tag(side: DataFrame) -> DataFrame:
+        t = side.join(
+            F.broadcast(counts.filter(F.col("disposition") != "cold")),
+            key,
+            "left",
+        )
+        return t.withColumn(
+            "disposition", F.coalesce("disposition", F.lit("cold"))
+        ).filter(F.col("disposition") != "dropped")
+
+    tagged = _tag(bands)
+    tagged_r = tagged if right_bands is None else _tag(rbands)
 
     # --- one uniform salted triangle join --------------------------------
     # Cold keys take salt-bucket count 1 (salt 0 on both sides — exactly
@@ -76,19 +98,53 @@ def candidate_pairs(
     gk = F.when(F.col("disposition") == "salted", F.lit(g)).otherwise(F.lit(1))
     left = tagged.withColumn(
         "salt", F.pmod(F.xxhash64(F.col(id_col)), gk).cast("int")
-    ).select(id_col, *key, "salt")
-    right = tagged.withColumn(
+    ).select(id_col, *key, "salt", *carry_cols)
+    right = tagged_r.withColumn(
         "salt_j", F.explode(F.sequence(F.lit(0), gk - 1))
-    ).select(id_col, *key, "salt_j")
+    ).select(id_col, *key, "salt_j", *carry_cols)
     l = left.alias("l")
     r = right.alias("r")
-    pairs = l.join(
-        r,
+    join_cond = (
         (F.col("l.band_id") == F.col("r.band_id"))
         & (F.col("l.band_hash") == F.col("r.band_hash"))
         & (F.col("l.salt") == F.col("r.salt_j"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2")
-    ).dropDuplicates(["id1", "id2"])
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    )
+    if right_bands is not None:
+        # asymmetric: a pair can match in both directions (x's exact key in
+        # y's expansion AND vice versa); cover both so id1 < id2 still
+        # enumerates every pair, then dedupe.
+        join_cond = (
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.salt") == F.col("r.salt_j"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        )
+    out_cols = [
+        F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id1"),
+        F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id2"),
+    ] if right_bands is not None else [
+        F.col(f"l.{id_col}").alias("id1"),
+        F.col(f"r.{id_col}").alias("id2"),
+    ]
+    carry_out = []
+    if carry_cols and right_bands is not None:
+        # keep carried payloads aligned with the (id1, id2) canonical order
+        swap = F.col(f"l.{id_col}") > F.col(f"r.{id_col}")
+        for c in carry_cols:
+            carry_out.append(
+                F.when(swap, F.col(f"r.{c}")).otherwise(F.col(f"l.{c}")).alias(f"{c}_1")
+            )
+            carry_out.append(
+                F.when(swap, F.col(f"l.{c}")).otherwise(F.col(f"r.{c}")).alias(f"{c}_2")
+            )
+    elif carry_cols:
+        for c in carry_cols:
+            carry_out.append(F.col(f"l.{c}").alias(f"{c}_1"))
+            carry_out.append(F.col(f"r.{c}").alias(f"{c}_2"))
+    pairs = (
+        l.join(r, join_cond)
+        .select(*out_cols, *carry_out)
+        .dropDuplicates(["id1", "id2"])
+    )
     return pairs, counts

@@ -53,52 +53,116 @@ def with_simhash(df: DataFrame, tokens_col: str, out_col: str = "simhash") -> Da
     return df.withColumn(out_col, simhash64_udf(F.col(tokens_col)))
 
 
+def _block_value(sim_col: Column, i: int, width: int) -> Column:
+    return (
+        F.shiftrightunsigned(sim_col, i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+    )
+
+
+def _block_plan(radius: int) -> tuple[int, int, bool]:
+    """-> (nblocks, width, flip) for the pigeonhole candidate join.
+
+    radius <= 3: standard pigeonhole, radius+1 blocks of >= 16 bits — keys
+    are already high-entropy.
+
+    4 <= radius <= 7: standard blocks would be 64/(radius+1) <= 12 bits wide
+    (radius 7 -> 8-bit blocks = 256 distinct join keys: quadratic on any
+    large corpus).  Use the two-level pigeonhole instead (HmSearch-style):
+    4 blocks of 16 bits; a pair with <= radius <= 7 differing bits has some
+    block with <= floor(7/4) = 1 differing bit, so probing each exact block
+    value against the build side's {value} U {value with one bit flipped}
+    expansion finds every true pair.  Keys stay 16-bit (65k values/block)
+    at the cost of a 17x build-side expansion — ~30x fewer candidate pairs
+    than 8-bit keys at equal corpus size.
+
+    radius >= 8: fall back to standard pigeonhole (narrow keys), relying on
+    the salted/capped disposition for skew — only audit-scale queries use
+    radii this wide."""
+    if radius <= 3 or radius >= 8:
+        nblocks = radius + 1
+        return nblocks, 64 // nblocks, False
+    return 4, 16, True
+
+
 def hamming_blocks(sim_col: Column, radius: int) -> Column:
-    """simhash -> array<struct<block_id,block_value>> of radius+1 blocks
-    (pigeonhole: a pair with <= radius differing bits agrees on >= 1 block)."""
-    nblocks = radius + 1
-    width = 64 // nblocks
+    """simhash -> array<struct<block_id,block_value>> of exact block keys
+    (pigeonhole: a pair within the radius agrees on >= 1 block — exactly for
+    the standard plan; within 1 bit per block for the two-level plan, where
+    the build side adds 1-bit-flip expansions via hamming_blocks_expanded)."""
+    nblocks, width, _ = _block_plan(radius)
     return F.array(
         *[
             F.struct(
                 F.lit(i).cast("int").alias("block_id"),
-                F.shiftrightunsigned(sim_col, i * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("block_value"),
+                _block_value(sim_col, i, width).alias("block_value"),
             )
             for i in range(nblocks)
         ]
     )
 
 
+def hamming_blocks_expanded(sim_col: Column, radius: int) -> Column:
+    """Build-side keys: exact block values plus, under the two-level plan,
+    every single-bit flip of each block value (width+1 keys per block)."""
+    nblocks, width, flip = _block_plan(radius)
+    entries = []
+    for i in range(nblocks):
+        v = _block_value(sim_col, i, width)
+        bid = F.lit(i).cast("int")
+        entries.append(F.struct(bid.alias("block_id"), v.alias("block_value")))
+        if flip:
+            for b in range(width):
+                entries.append(
+                    F.struct(
+                        bid.alias("block_id"),
+                        v.bitwiseXOR(F.lit(1 << b)).alias("block_value"),
+                    )
+                )
+    return F.array(*entries)
+
+
 def simhash_candidates(
     df: DataFrame, cfg: PipelineConfig, id_col: str = "clip_id", sim_col: str = "simhash"
 ) -> DataFrame:
     """(id, simhash) -> candidate pairs with hamming <= radius, verified
-    JVM-side with bit_count(xor)."""
-    blocks = df.select(
-        id_col,
-        sim_col,
-        F.explode(hamming_blocks(F.col(sim_col), cfg.hamming_radius)).alias("blk"),
-    ).select(
-        id_col, sim_col,
-        F.col("blk.block_id").alias("block_id"),
-        F.col("blk.block_value").alias("block_value"),
+    JVM-side with bit_count(xor).
+
+    The block equi-join goes through ``lsh.candidate_pairs``' skew
+    disposition (cold / salted-triangle / capped-with-metrics), so a
+    degenerate sketch value (e.g. simhash 0 from near-empty token sets) or
+    a narrow-key radius can't put a whole hot key on one reducer."""
+    from . import lsh
+
+    radius = cfg.hamming_radius
+    _, _, flip = _block_plan(radius)
+
+    def _explode(keys_col: Column) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.col(sim_col),
+            F.explode(keys_col).alias("blk"),
+        ).select(
+            id_col,
+            sim_col,
+            F.col("blk.block_id").alias("band_id"),
+            F.col("blk.block_value").alias("band_hash"),
+        )
+
+    probe = _explode(hamming_blocks(F.col(sim_col), radius))
+    build = (
+        _explode(hamming_blocks_expanded(F.col(sim_col), radius)) if flip else None
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.block_id") == F.col("b.block_id"))
-        & (F.col("a.block_value") == F.col("b.block_value"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("id1"),
-        F.col(f"b.{id_col}").alias("id2"),
-        F.bit_count(
-            F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
-        ).alias("hamming"),
+    pairs, _metrics = lsh.candidate_pairs(
+        probe, cfg, id_col=id_col, right_bands=build, carry_cols=[sim_col]
     )
     return (
-        pairs.filter(F.col("hamming") <= cfg.hamming_radius)
-        .dropDuplicates(["id1", "id2"])
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col(f"{sim_col}_1").bitwiseXOR(F.col(f"{sim_col}_2"))
+            ),
+        )
+        .filter(F.col("hamming") <= radius)
+        .select("id1", "id2", "hamming")
     )
