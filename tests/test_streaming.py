@@ -147,3 +147,37 @@ def test_compaction_preserves_results_and_bounds_files(spark, dirs):
     q.awaitTermination(120)
     pairs = {(r.id1, r.id2) for r in dedup.verified_pairs().collect()}
     assert any("z9" in p and "y0" in p for p in pairs), pairs
+
+
+def test_over_cap_candidates_take_semi_join_path(spark, dirs, monkeypatch):
+    """More distinct candidate ids than _ISIN_PUSHDOWN_CAP: the historical
+    doc fetch must go through the distributed left-semi join, never
+    collecting the id set to the driver (round-2 verdict item 3)."""
+    import text_similarity_node_spark.streaming.incremental as inc
+
+    monkeypatch.setattr(inc, "_ISIN_PUSHDOWN_CAP", 2)
+    src, state, ckpt = dirs
+    cfg = PipelineConfig(verify_threshold=0.8, run_id="stream_cap_test")
+    dedup = IncrementalDedup(spark, cfg, state)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    _write_batch(
+        spark, src,
+        [(f"h{i}", base + f" tail{i}") for i in range(6)],
+        "b1",
+    )
+    q = dedup.start(src + "/*", SCHEMA, ckpt)
+    q.awaitTermination(120)
+
+    # batch 2: dups of several historical docs -> > cap distinct cand ids
+    _write_batch(
+        spark, src,
+        [(f"n{i}", base + f" tail{i}!") for i in range(6)],
+        "b2",
+    )
+    q = dedup.start(src + "/*", SCHEMA, ckpt)
+    q.awaitTermination(120)
+
+    pairs = {(r.id1, r.id2) for r in dedup.verified_pairs().collect()}
+    for i in range(6):
+        assert (f"h{i}", f"n{i}") in pairs, f"missing cross-batch pair {i}"

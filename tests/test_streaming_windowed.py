@@ -115,3 +115,23 @@ def test_watermark_present_in_streaming_plan(spark, dirs):
     assert agg.isStreaming
     plan = agg._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan or "watermark" in plan.lower()
+
+
+def test_replayed_batch_writes_once(spark, tmp_path):
+    """A foreachBatch replay (crash between parquet write and checkpoint
+    commit) must not double-append its windows: same batch_id -> same
+    subdirectory, overwritten."""
+    from text_similarity_node_spark.streaming.windowed import write_batch_idempotent
+
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00", "click", 3, 1.5)],
+        "window_start string, window_end string, event_type string, "
+        "n_events long, sum_value double",
+    )
+    write_batch_idempotent(df, out, 7)
+    write_batch_idempotent(df, out, 7)  # replay
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    write_batch_idempotent(df, out, 8)  # a genuinely new batch
+    assert spark.read.parquet(out).count() == 2

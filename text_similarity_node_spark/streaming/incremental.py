@@ -124,16 +124,25 @@ class IncrementalDedup:
         # gram arrays for exactly the docs the candidates touch: new-batch
         # docs from memory; historical docs via a pushed-down isin scan
         # (store files are sorted by clip_id -> row-group skipping), so the
-        # docs-store read is O(candidates), not O(history)
-        cand_ids = {
-            r[0]
-            for r in cand.select(F.explode(F.array("id1", "id2"))).distinct().collect()
-        }
+        # docs-store read is O(candidates), not O(history).  The id set is
+        # counted distributively FIRST and only collected to the driver when
+        # it fits under _ISIN_PUSHDOWN_CAP — a hot-band batch against deep
+        # history can produce millions of candidate ids, and those take the
+        # left-semi join path without ever touching the driver.
+        cand_ids_df = (
+            cand.select(F.explode(F.array("id1", "id2")).alias("clip_id"))
+            .distinct()
+            .cache()
+        )
+        n_cand_ids = cand_ids_df.count()
         stores = [new_docs]
-        if self._store_exists(self.docs_path) and cand_ids:
+        if self._store_exists(self.docs_path) and n_cand_ids:
             hist_docs = self.spark.read.parquet(self.docs_path)
-            if len(cand_ids) <= _ISIN_PUSHDOWN_CAP:
+            if n_cand_ids <= _ISIN_PUSHDOWN_CAP:
+                cand_ids = [r[0] for r in cand_ids_df.collect()]
                 hist_docs = hist_docs.filter(F.col("clip_id").isin(*cand_ids))
+            else:
+                hist_docs = hist_docs.join(cand_ids_df, "clip_id", "left_semi")
             stores.append(hist_docs)
         all_docs = stores[0] if len(stores) == 1 else stores[0].unionByName(stores[1])
         # dedupe (a replayed batch may have written its docs already)
@@ -173,6 +182,7 @@ class IncrementalDedup:
         new_bands.unpersist()
         new_docs.unpersist()
         cand.unpersist()
+        cand_ids_df.unpersist()
 
     def compact_stores(self, target_files_per_partition: int = 1) -> None:
         """Rewrite the band and doc stores to bounded file counts: each

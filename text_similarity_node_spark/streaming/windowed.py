@@ -28,6 +28,8 @@ __spark_entry__.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,6 +69,17 @@ def windowed_event_counts(
     )
 
 
+def write_batch_idempotent(batch_df: DataFrame, output_dir: str, batch_id: int) -> None:
+    """batch_id-keyed subdirectory + overwrite: a batch replayed after a
+    crash between the write and the checkpoint commit lands in the same
+    directory and overwrites itself instead of double-appending its
+    finalized windows (same idempotence pattern as incremental.py's pairs
+    store).  Readers see batch_id as a discovered partition column."""
+    batch_df.write.mode("overwrite").parquet(
+        os.path.join(output_dir, f"batch_id={int(batch_id)}")
+    )
+
+
 def run_available_now(
     spark,
     source_dir: str,
@@ -85,7 +98,7 @@ def run_available_now(
     agg = windowed_event_counts(stream, **kwargs)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
+        write_batch_idempotent(batch_df, output_dir, batch_id)
 
     (
         agg.writeStream.foreachBatch(sink)
