@@ -1384,12 +1384,8 @@ def q31_simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id", C.char_ngrams(F.col("text"), 3).alias("tokens")
     )
-    ids = docs.select(F.col("doc_id").alias("id1"))
-    allpairs = ids.crossJoin(docs.select(F.col("doc_id").alias("id2"))).filter(
-        F.col("id1") < F.col("id2")
-    )
     truth = verify_pairs_multiset_jaccard_arrays(
-        allpairs, docs, "doc_id", "tokens", 0.7
+        _audit_allpairs(docs, "doc_id"), docs, "doc_id", "tokens", 0.7
     ).select("id1", "id2").persist()
     cfg = PipelineConfig(hamming_radius=10)
     sk = simhash.with_simhash(docs, "tokens")
@@ -1542,6 +1538,129 @@ FROM corpus a JOIN corpus b
 """
 
 
+_AUDIT_MAX_DOCS = 10_000
+
+
+def _audit_allpairs(docs: DataFrame, id_col: str) -> DataFrame:
+    """All-pairs truth frame for the recall-audit queries (q31/q35).
+
+    Audit truth sides are brute-force BY DESIGN — they exist to certify a
+    probabilistic candidate generator against exact ground truth, the way a
+    production pipeline audits a sketch on a small sample.  Guarded: fails
+    loudly instead of going quadratic if pointed at a production-sized
+    input (the driver's correctness gate runs at sf0.01 = 500 docs)."""
+    n = docs.count()
+    if n > _AUDIT_MAX_DOCS:
+        raise ValueError(
+            f"recall audit truth side is all-pairs by design and capped at "
+            f"{_AUDIT_MAX_DOCS} docs; got {n} — run it on a sample"
+        )
+    ids = docs.select(F.col(id_col).alias("id1"))
+    return ids.crossJoin(docs.select(F.col(id_col).alias("id2"))).filter(
+        F.col("id1") < F.col("id2")
+    )
+
+
+def q35_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable recall audit for the MinHash-LSH candidate path in
+    its full q16 production shape: signatures (b=25, r=5) -> exploded bands
+    -> salted/capped candidate join -> multiset-sound signature-agreement
+    prefilter.  Ground truth = all pairs with multiset trigram Jaccard
+    >= 0.7 (brute-force array-merge verify, audit-scale guarded).  Emits
+    one row (n_truth, n_missed); the oracle brute-forces n_truth in SQL
+    and asserts n_missed = 0, so the driver hash matches iff every truth
+    pair survives banding AND the prefilter — auditing the prefilter's
+    soundness claim, not just the S-curve.  (q16 remains the scale-shaped
+    query; this is its recall evidence, the q31 pattern.)"""
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators import lsh, minhash
+    from text_similarity_node_spark.operators.verify import (
+        verify_pairs_multiset_jaccard_arrays,
+    )
+
+    cfg = PipelineConfig(
+        hot_band_threshold=500, salt_buckets=8, verify_threshold=0.7
+    )
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", C.char_ngrams(F.col("text"), cfg.ngram_size).alias("tokens")
+    ).persist()
+    truth = verify_pairs_multiset_jaccard_arrays(
+        _audit_allpairs(docs, "doc_id"), docs, "doc_id", "tokens",
+        cfg.verify_threshold,
+    ).select("id1", "id2").persist()
+
+    n_distinct, n_total = minhash.token_stats_cols(F.col("tokens"))
+    sig = (
+        minhash.with_minhash(docs, "tokens", cfg)
+        .withColumn("n_distinct", n_distinct)
+        .withColumn("n_total", n_total)
+        .select("doc_id", "minhash", "n_distinct", "n_total")
+        .persist()
+    )
+    bands = minhash.explode_bands(
+        sig.select("doc_id", "minhash"), "doc_id", "minhash", cfg
+    )
+    pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col="doc_id")
+    cand = minhash.prefilter_candidates(pairs, sig, cfg, id_col="doc_id")
+    found = truth.join(cand.select("id1", "id2"), ["id1", "id2"], "left_semi")
+    return truth.agg(F.count(F.lit(1)).alias("n_truth")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("_nf"))
+    ).select(
+        "n_truth", (F.col("n_truth") - F.col("_nf")).alias("n_missed")
+    )
+
+
+def q36_ann_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable recall audit for the RHP multi-table LSH ANN path
+    (q19's operator).  Ground truth = exact brute-force cosine top-5 for
+    the 10 audit queries; candidates = cosine_topk_lsh at 16 tables x
+    6 bits with Hamming-1 multiprobe — each query scans ~7/64 of each
+    table's buckets, NOT a full probe, so recall here is earned by the
+    bucketing, not by degenerate exhaustive search.  Emits (n_truth,
+    n_missed); the oracle asserts n_missed = 0 (deterministic: seeded
+    hyperplanes, fixed corpus).  (q19 remains the scale-shaped query at
+    the default 8-table config; this is its recall evidence.)"""
+    from text_similarity_node_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, queries_df, k=5).select(
+        "query_id", "vec_id"
+    ).persist()
+    approx = cosine_topk_lsh(
+        emb, queries_df, dim=64, k=5, n_bits=6, n_tables=16
+    ).select("query_id", "vec_id")
+    found = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    return exact.agg(F.count(F.lit(1)).alias("n_truth")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("_nf"))
+    ).select(
+        "n_truth", (F.col("n_truth") - F.col("_nf")).alias("n_missed")
+    )
+
+
+_Q36_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))),
+               6) AS cos_sim
+  FROM q JOIN e ON e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT count(*) AS n_truth, 0::BIGINT AS n_missed FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1588,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_audio_fingerprint_pairs": q32_audio_fingerprint_pairs,
         "q33_ann_ivf": q33_ann_ivf,
         "q34_image_phash_pairs": q34_image_phash_pairs,
+        "q35_minhash_recall_audit": q35_minhash_recall_audit,
+        "q36_ann_lsh_recall_audit": q36_ann_lsh_recall_audit,
     }
 
 
@@ -1624,8 +1745,11 @@ def oracle_sql() -> dict[str, str]:
         "q32_audio_fingerprint_pairs": _Q32_SQL,
         "q33_ann_ivf": _Q10_SQL,  # full-probe IVF == brute force exactly
         "q34_image_phash_pairs": _Q34_SQL,
+        "q35_minhash_recall_audit": _Q31_SQL,  # same brute-force truth as q31
+        "q36_ann_lsh_recall_audit": _Q36_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
-        # generation (MinHash LSH, SimHash, winnowing, RHP buckets) is not
-        # SQL-expressible; the driver records rows-only checks and pytest
-        # covers recall/exactness (test_pipeline.py, test_ann.py).
+        # membership (MinHash LSH, SimHash, RHP buckets) is not
+        # SQL-expressible; the driver records rows-only checks there, and
+        # q31/q35/q36 carry the oracle-checked recall evidence for each
+        # pass (n_truth vs brute-force SQL, n_missed asserted 0).
     }
