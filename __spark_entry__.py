@@ -1746,6 +1746,88 @@ def q37_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_char_cosine_nonascii_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-mode cosine, NON-ASCII fork (reference kernel #9,
+    vector_based.cpp:125-159): when either string contains a non-ASCII
+    character the reference computes BINARY-PRESENCE cosine over distinct
+    characters, |A∩B|/sqrt(|A|·|B|) — not the frequency cosine of the
+    ASCII fork (q30).  The documented textdistance-compat quirk.
+
+    Corpus derivation (deterministic, no external data): the head of each
+    document (24 chars — short enough that distinct-char sets differ
+    between docs; full texts saturate the alphabet and every cosine is
+    ~1.0) with vowels mapped to accented forms via translate, which makes
+    every derived string non-ASCII and forces the fork.  Plan: one
+    distinct-char explode, inverted-index equi-join on (char, lang), count
+    = |A∩B| — one shuffle on the char key, same scale shape as q30."""
+    s = F.translate(F.substring(F.col("text"), 1, 24), "aeiou", "äéíöü")
+    chars = (
+        _load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.array_distinct(F.split(s, ""))).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+    )
+    sizes = chars.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    chars = chars.join(sizes, "doc_id")
+    a, b = chars.alias("a"), chars.alias("b")
+    stats = (
+        a.join(
+            b,
+            (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("isz"),
+            F.first(F.col("a.n")).alias("n1"),
+            F.first(F.col("b.n")).alias("n2"),
+        )
+    )
+    cos = F.col("isz").cast("double") / F.sqrt(
+        (F.col("n1") * F.col("n2")).cast("double")
+    )
+    return (
+        stats.select(
+            "doc_id1", "doc_id2", F.round(cos, 6).alias("char_cos_nonascii")
+        )
+        .filter(F.col("char_cos_nonascii") >= 0.9)
+    )
+
+
+_Q38_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+         translate(substring(text, 1, 24), 'aeiou', 'äéíöü') AS s
+  FROM documents
+),
+chars AS (
+  SELECT DISTINCT doc_id, lang, substring(s, i, 1) AS ch
+  FROM s, LATERAL (SELECT unnest(generate_series(1, length(s))) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM chars GROUP BY doc_id),
+inter AS (
+  SELECT c1.doc_id AS doc_id1, c2.doc_id AS doc_id2, count(*) AS isz
+  FROM chars c1
+  JOIN chars c2 ON c1.ch = c2.ch AND c1.lang = c2.lang
+                AND c1.doc_id < c2.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id1, doc_id2,
+       round(isz / sqrt((s1.n * s2.n)::DOUBLE), 6) AS char_cos_nonascii
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc_id1
+JOIN sizes s2 ON s2.doc_id = doc_id2
+WHERE round(isz / sqrt((s1.n * s2.n)::DOUBLE), 6) >= 0.9
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1795,6 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_minhash_recall_audit": q35_minhash_recall_audit,
         "q36_ann_lsh_recall_audit": q36_ann_lsh_recall_audit,
         "q37_ngram_jaccard_scale": q37_ngram_jaccard_scale,
+        "q38_char_cosine_nonascii_pairs": q38_char_cosine_nonascii_pairs,
     }
 
 
@@ -1836,6 +1919,7 @@ def oracle_sql() -> dict[str, str]:
         # q37 re-derives q04's rows through the probabilistic scale path —
         # same oracle on purpose (candidate recall 1.0 at audit scale)
         "q37_ngram_jaccard_scale": _Q04_SQL,
+        "q38_char_cosine_nonascii_pairs": _Q38_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

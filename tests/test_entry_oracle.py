@@ -109,3 +109,39 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_q38_matches_scalar_nonascii_fork(spark):
+    """The distributed q38 plan must agree with the scalar reference
+    kernel's NON-ASCII fork (vector_based.cpp:125-159 binary-presence
+    cosine) on the same derived strings — proves the driver query
+    exercises the fork, not the ASCII frequency path."""
+    from pyspark.sql import functions as F
+    from text_similarity_node_spark.functions.kernels import cosine_similarity
+    from text_similarity_node_spark.config import (
+        Algorithm,
+        AlgorithmConfig,
+        Preprocessing,
+    )
+
+    derived = {
+        r.doc_id: r.s
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            "doc_id",
+            F.translate(F.substring(F.col("text"), 1, 24), "aeiou", "äéíöü").alias("s"),
+        )
+        .collect()
+    }
+    cfg = AlgorithmConfig(
+        algorithm=Algorithm.COSINE,
+        preprocessing=Preprocessing.CHARACTER,
+        case_sensitive=True,
+    )
+    rows = entrymod.q38_char_cosine_nonascii_pairs(spark, SF_DIR).collect()
+    assert rows, "expected at least one pair above threshold"
+    for r in rows[:200]:
+        s1, s2 = derived[r.doc_id1], derived[r.doc_id2]
+        assert not (s1.isascii() and s2.isascii())  # fork actually taken
+        expect = cosine_similarity(s1, s2, cfg)
+        assert abs(expect - r.char_cos_nonascii) < 1e-6, (r.doc_id1, r.doc_id2)
