@@ -1828,6 +1828,87 @@ WHERE round(isz / sqrt((s1.n * s2.n)::DOUBLE), 6) >= 0.9
 """
 
 
+def q39_multimodal_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup (dedup.multimodal_neardup: text-OR-audio edges ->
+    connected components) as a driver-oracled query, via the planted-star
+    construction:
+
+    - bases: doc_id < 200, unique garbage transcript g(id) (three chained
+      md5 hexes — pairwise trigram-Jaccard ~0.01, far below the 0.7
+      verify), audio class id % 400 == id (unique per base).
+    - audio-only copies at id + 1_000_000 (id % 6 == 0): same waveform
+      class + 34 dB jitter, CORRUPTED transcript g(id + 5_000_000) — the
+      text path cannot see these; only the audio path links them.
+    - text-only copies at id + 2_000_200 (id % 7 == 0): transcript g(id)
+      verbatim, audio class (id + 200) % 400 = id + 200 — unique, outside
+      the base range, so only the text path links them.
+
+    Each cluster is therefore a star around its base and the CC labels
+    have the closed form cluster_id = base id — SQL-expressible without
+    recursion, which is what admits the oracle.  Recovering it requires
+    BOTH modal paths to work: drop the audio edges and the audio copies
+    become singletons; drop the text edges and the text copies do."""
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators.audio import synth_sine1s_pcm_udf
+    from text_similarity_node_spark.operators.dedup import multimodal_neardup
+
+    def g(idc):
+        return F.concat(
+            F.md5(F.concat(F.lit("t"), idc.cast("string"))),
+            F.md5(F.concat(F.lit("u"), idc.cast("string"))),
+            F.md5(F.concat(F.lit("v"), idc.cast("string"))),
+        )
+
+    base = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    bases = base.select(
+        F.col("doc_id").alias("clip_id"), g(F.col("doc_id")).alias("transcript")
+    )
+    audio_copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("clip_id"),
+        g(F.col("doc_id") + 5_000_000).alias("transcript"),
+    )
+    text_copies = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_200).alias("clip_id"),
+        g(F.col("doc_id")).alias("transcript"),
+    )
+    synth = synth_sine1s_pcm_udf()
+    corpus = (
+        bases.unionByName(audio_copies)
+        .unionByName(text_copies)
+        .withColumn("bytes", synth(F.col("clip_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    cfg = PipelineConfig(hot_band_threshold=500, salt_buckets=8)
+    out = multimodal_neardup(
+        corpus, cfg,
+        audio_fp_kwargs=dict(
+            min_matches=2, frame_len=4096, hop=2048,
+            peaks_per_frame=1, fanout=2, freq_quant_hz=1.0,
+        ),
+    )
+    return out.select("clip_id", "cluster_id", "is_duplicate")
+
+
+_Q39_SQL = """
+WITH corpus AS (
+  SELECT doc_id AS clip_id, doc_id AS base
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id
+  FROM documents WHERE doc_id < 200 AND doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 2000200, doc_id
+  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+)
+SELECT clip_id, base AS cluster_id, clip_id <> base AS is_duplicate
+FROM corpus
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1878,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_ann_lsh_recall_audit": q36_ann_lsh_recall_audit,
         "q37_ngram_jaccard_scale": q37_ngram_jaccard_scale,
         "q38_char_cosine_nonascii_pairs": q38_char_cosine_nonascii_pairs,
+        "q39_multimodal_neardup_clusters": q39_multimodal_neardup_clusters,
     }
 
 
@@ -1920,6 +2002,7 @@ def oracle_sql() -> dict[str, str]:
         # same oracle on purpose (candidate recall 1.0 at audit scale)
         "q37_ngram_jaccard_scale": _Q04_SQL,
         "q38_char_cosine_nonascii_pairs": _Q38_SQL,
+        "q39_multimodal_neardup_clusters": _Q39_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
