@@ -1703,13 +1703,26 @@ def q37_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "minhash", "n_distinct", "n_total")
         .persist()  # two consumers (bands + prefilter); ContextCleaner unpersists
     )
-    bands = minhash.explode_bands(
-        sig.select("doc_id", "minhash"), "doc_id", "minhash", cfg
+    # compose the deterministic blocking key (lang) INTO the band key:
+    # truth requires lang equality, so folding lang into band_hash cannot
+    # lose a true candidate (equal (hash, lang) -> equal key) and drops
+    # every cross-lang collision before the pair join even forms — the
+    # standard blocking x LSH composition for partitioned corpora.  A
+    # 2^-64 xxhash64 collision can only ADD a candidate (the exact verify
+    # rejects it), never lose one.
+    meta = docs.select("doc_id", "lang", "n_chars")
+    bands = (
+        minhash.explode_bands(
+            sig.select("doc_id", "minhash"), "doc_id", "minhash", cfg
+        )
+        .join(F.broadcast(meta.select("doc_id", "lang")), "doc_id")
+        .withColumn("band_hash", F.xxhash64("band_hash", "lang"))
+        .drop("lang")
     )
     pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col="doc_id")
-    # q04's blocking predicates first — int/string columns, broadcast-sized
-    # meta, cheapest prune available before the signature join
-    meta = docs.select("doc_id", "lang", "n_chars")
+    # q04's remaining blocking predicates — int/string columns,
+    # broadcast-sized meta, cheapest prune available before the signature
+    # join (lang re-checked exactly here, covering the hash-fold)
     pairs = (
         pairs
         .join(
