@@ -216,8 +216,9 @@ def q04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the shingle key, partial aggregation map-side).  The per-pair
     map_zip_with formulation measured 62s at sf0.01 (interpreted complex-
     type expressions per probe); this shape runs in seconds and is the one
-    that scales: at 10^12 rows you first LSH (q16), then verify with
-    exactly this plan over candidates."""
+    that scales: at 10^12 rows you first LSH, then verify over candidates
+    — which is exactly q37_ngram_jaccard_scale, the scale-shaped
+    registration of these same semantics against the same oracle."""
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",

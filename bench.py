@@ -259,6 +259,17 @@ def bench_scaling(levels=(2, 8, 32)):
     print(json.dumps(out))
 
     os.makedirs("BENCH", exist_ok=True)
+    # regenerating the measurement body must not clobber the hand-written
+    # cross-round calibration history appended below it
+    history = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        idx = old.find("## Cross-round context")
+        if idx >= 0:
+            history = "\n" + old[idx:]
+    except OSError:
+        pass
     rows = "\n".join(
         f"| local[{c}] pinned to {c} vCPUs | {results[c]['seconds']} | "
         f"{results[c]['clips_per_sec']} |"
@@ -301,6 +312,7 @@ def bench_scaling(levels=(2, 8, 32)):
             "regime where 4x vCPUs are genuinely 4x hardware (the cluster\n"
             "proxy); 8->32 additionally measures shared-hardware saturation\n"
             "that a multi-node cluster would not hit.\n"
+            + history
         )
     return out
 
