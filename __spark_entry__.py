@@ -1923,6 +1923,88 @@ FROM corpus
 """
 
 
+def q40_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (the GPT-3 appendix-C 13-gram rule), a
+    first-class training-data-pipeline op: the 'benchmark' is every doc
+    with doc_id % 97 == 0, and every OTHER doc sharing at least one word
+    13-gram with it is flagged with its distinct-overlapping-gram count.
+    The corpus has no natural 13-word overlaps (measured: zero at
+    sf0.01), so contamination is PLANTED deterministically — docs with
+    doc_id % 13 == 5 get the benchmark texts (concatenated in doc_id
+    order) appended, which both engines derive identically; the Spark
+    side must then recover exactly those docs with exactly the planted
+    gram counts.  Scale shape (operators/text_analysis.
+    contamination_check): benchmark grams dedup to 8-byte hashes and
+    broadcast; corpus grams stream through a broadcast hash join — zero
+    corpus-gram shuffle."""
+    from text_similarity_node_spark.operators.text_analysis import (
+        contamination_check,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # deterministic injection source: all benchmark texts, doc_id order
+    # (collect_list alone is order-nondeterministic; array_sort on the
+    # (doc_id, text) struct pins it)
+    src = bench.select(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("_src")
+    )
+    targets = docs.filter(F.col("doc_id") % 97 != 0).crossJoin(F.broadcast(src))
+    corpus = targets.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.concat(F.col("text"), F.lit(" "), F.col("_src")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return contamination_check(corpus, bench, "doc_id", "text", n=13)
+
+
+_Q40_SQL = """
+WITH src AS (
+  SELECT string_agg(text, ' ' ORDER BY doc_id) AS s
+  FROM documents WHERE doc_id % 97 = 0
+),
+corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 5
+              THEN text || ' ' || (SELECT s FROM src)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 0
+),
+words_c AS (
+  SELECT doc_id, regexp_extract_all(text, '\\w+') AS w FROM corpus
+),
+words_b AS (
+  SELECT doc_id, regexp_extract_all(text, '\\w+') AS w
+  FROM documents WHERE doc_id % 97 = 0
+),
+grams_c AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+  FROM words_c,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 12)) AS i)
+  WHERE len(w) >= 13
+),
+grams_b AS (
+  SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+  FROM words_b,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 12)) AS i)
+  WHERE len(w) >= 13
+)
+SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams
+FROM grams_c JOIN grams_b USING (g)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1974,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_ngram_jaccard_scale": q37_ngram_jaccard_scale,
         "q38_char_cosine_nonascii_pairs": q38_char_cosine_nonascii_pairs,
         "q39_multimodal_neardup_clusters": q39_multimodal_neardup_clusters,
+        "q40_benchmark_contamination": q40_benchmark_contamination,
     }
 
 
@@ -2017,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "q37_ngram_jaccard_scale": _Q04_SQL,
         "q38_char_cosine_nonascii_pairs": _Q38_SQL,
         "q39_multimodal_neardup_clusters": _Q39_SQL,
+        "q40_benchmark_contamination": _Q40_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

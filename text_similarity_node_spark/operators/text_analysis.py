@@ -55,3 +55,59 @@ def langid_sql_case(text_expr: str = "text") -> str:
         case += f" WHEN {score_cols[lang]} = {greatest} THEN '{lang}'"
     case += " ELSE 'und' END"
     return case
+
+
+def word_shingles(tokens: Column, n: int) -> Column:
+    """Sliding word n-grams as space-joined strings; empty array when the
+    doc has fewer than n words.  Pure JVM (sequence + transform + slice) —
+    no Python workers in the shingle path."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_check(
+    docs,
+    bench,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    broadcast_bench: bool = True,
+):
+    """Benchmark decontamination (the GPT-3-style 13-gram rule): flag every
+    doc sharing at least one word n-gram with the benchmark set; returns
+    (id, n_contaminated_grams) for contaminated docs only.
+
+    Scale shape: the benchmark gram set is reduced to DISTINCT xxhash64
+    values (8 bytes each — a benchmark suite is thousands of docs, so the
+    set is MBs) and broadcast; the corpus streams through a broadcast hash
+    semi-join with NO shuffle of corpus grams.  ``broadcast_bench=False``
+    falls back to a shuffle hash join for benchmark sets too large to
+    broadcast.  Matching on xxhash64 of the gram (8-byte keys instead of
+    ~80-byte strings) admits ~2^-64-per-pair collisions; a collision can
+    only over-flag, and at that rate is tolerated by every production
+    decontamination pipeline that runs on hashes."""
+    from ..functions import columns as C
+
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(C.word_tokens(F.col(text_col)), n)).alias("_g"),
+    ).select(id_col, F.xxhash64("_g").alias("_gh")).distinct()
+    bench_grams = (
+        bench.select(
+            F.explode(word_shingles(C.word_tokens(F.col(text_col)), n)).alias("_g")
+        )
+        .select(F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    return (
+        doc_grams.join(bench_grams, "_gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
