@@ -74,3 +74,47 @@ def test_winnowing_guarantee():
 def test_winnowing_short_strings():
     assert _rolling_fingerprints("short", 8, 4) == []
     assert len(_rolling_fingerprints("exactly8", 8, 4)) == 1
+
+
+def test_word_shingles_and_contamination(spark):
+    """word_shingles: sliding word n-grams, empty below n words;
+    contamination_check flags exactly the docs sharing a full n-gram."""
+    from pyspark.sql import functions as F
+    from text_similarity_node_spark.operators.text_analysis import (
+        contamination_check,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "x a b c y"), (4, "c b a d")],
+        ["doc_id", "text"],
+    )
+    from text_similarity_node_spark.functions import columns as C
+
+    got = {
+        r.doc_id: r.g
+        for r in df.select(
+            "doc_id", word_shingles(C.word_tokens(F.col("text")), 3).alias("g")
+        ).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == []  # below n words -> empty, not a partial gram
+    assert got[3] == ["x a b", "a b c", "b c y"]
+
+    bench = df.filter(F.col("doc_id") == 1)
+    targets = df.filter(F.col("doc_id") != 1)
+    out = {
+        r.doc_id: r.n_contaminated_grams
+        for r in contamination_check(targets, bench, "doc_id", "text", n=3).collect()
+    }
+    # doc 3 shares "a b c"; doc 2 has no 3-gram; doc 4 shares no 3-gram
+    assert out == {3: 1}
+
+    # non-broadcast fallback is plan-different, result-identical
+    out2 = {
+        r.doc_id: r.n_contaminated_grams
+        for r in contamination_check(
+            targets, bench, "doc_id", "text", n=3, broadcast_bench=False
+        ).collect()
+    }
+    assert out2 == out
