@@ -1704,23 +1704,41 @@ def q37_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "minhash", "n_distinct", "n_total")
         .persist()  # two consumers (bands + prefilter); ContextCleaner unpersists
     )
-    # compose the deterministic blocking key (lang) INTO the band key:
-    # truth requires lang equality, so folding lang into band_hash cannot
-    # lose a true candidate (equal (hash, lang) -> equal key) and drops
-    # every cross-lang collision before the pair join even forms — the
-    # standard blocking x LSH composition for partitioned corpora.  A
-    # 2^-64 xxhash64 collision can only ADD a candidate (the exact verify
-    # rejects it), never lose one.
+    # compose the deterministic blocking keys INTO the band key:
+    # truth requires lang equality and |n_chars diff| <= 40, so folding
+    # them into band_hash cannot lose a true candidate and drops every
+    # cross-lang / distant-length collision before the pair join even
+    # forms — the standard blocking x LSH composition for partitioned
+    # corpora.  lang folds exactly; the length window folds via width-40
+    # buckets with the adjacent-bucket trick: a pair within 40 chars is
+    # within 1 bucket, and the BUILD side replicates each row to buckets
+    # {b, b+1}, so for any such pair at least one direction of the
+    # asymmetric probe/build join meets (same argument as the SimHash
+    # two-level expansion; counts/salting are taken on the expanded build
+    # side).  A 2^-64 xxhash64 collision can only ADD a candidate (the
+    # exact verify rejects it), never lose one.
     meta = docs.select("doc_id", "lang", "n_chars")
-    bands = (
-        minhash.explode_bands(
-            sig.select("doc_id", "minhash"), "doc_id", "minhash", cfg
+    meta_bk = F.broadcast(
+        meta.select(
+            "doc_id", "lang", F.floor(F.col("n_chars") / 40).alias("_bk")
         )
-        .join(F.broadcast(meta.select("doc_id", "lang")), "doc_id")
-        .withColumn("band_hash", F.xxhash64("band_hash", "lang"))
-        .drop("lang")
     )
-    pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col="doc_id")
+    base_bands = minhash.explode_bands(
+        sig.select("doc_id", "minhash"), "doc_id", "minhash", cfg
+    ).join(meta_bk, "doc_id")
+    probe = base_bands.select(
+        "doc_id", "band_id",
+        F.xxhash64("band_hash", "lang", "_bk").alias("band_hash"),
+    )
+    build = base_bands.withColumn(
+        "_bke", F.explode(F.array(F.col("_bk"), F.col("_bk") + 1))
+    ).select(
+        "doc_id", "band_id",
+        F.xxhash64("band_hash", "lang", "_bke").alias("band_hash"),
+    )
+    pairs, _metrics = lsh.candidate_pairs(
+        probe, cfg, id_col="doc_id", right_bands=build
+    )
     # q04's remaining blocking predicates — int/string columns,
     # broadcast-sized meta, cheapest prune available before the signature
     # join (lang re-checked exactly here, covering the hash-fold)
