@@ -2023,6 +2023,63 @@ GROUP BY doc_id
 """
 
 
+def q41_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (30-min inactivity
+    boundary): the canonical distributed shape — ONE shuffle on user_id,
+    then lag + running-sum window inside each partition, then a same-key
+    groupBy that AQE keeps shuffle-free (the window and the aggregate
+    share the user_id partitioning).  Gap arithmetic runs on integer
+    microseconds (unix_micros / epoch_us both sides) and the value sum on
+    integer cents — no float accumulation order in the oracle hash."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP.  The cast
+    # applies the session timezone, and gaps are DIFFERENCES, so the
+    # constant offset cancels regardless of the session setting.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    is_new = (gap.isNull() | (gap > 1_800_000_000)).cast("int")
+    sess = (
+        ev.withColumn("session_seq", F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+_Q41_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM ordered
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2075,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_char_cosine_nonascii_pairs": q38_char_cosine_nonascii_pairs,
         "q39_multimodal_neardup_clusters": q39_multimodal_neardup_clusters,
         "q40_benchmark_contamination": q40_benchmark_contamination,
+        "q41_event_sessionization": q41_event_sessionization,
     }
 
 
@@ -2119,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         "q38_char_cosine_nonascii_pairs": _Q38_SQL,
         "q39_multimodal_neardup_clusters": _Q39_SQL,
         "q40_benchmark_contamination": _Q40_SQL,
+        "q41_event_sessionization": _Q41_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
