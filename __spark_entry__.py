@@ -2080,6 +2080,31 @@ GROUP BY user_id, session_seq
 """
 
 
+def q42_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratifiable train/val split (operators/
+    text_analysis.hash_split): content-stable md5 bucketing at 90/10,
+    salt 'r3'.  Pure map-side — no shuffle, no state; a doc's assignment
+    never changes as the corpus grows, which is the property an
+    incremental 100-TB ingest needs.  The oracle is the literal CASE
+    translation of the same two-hex-char lexicographic rule."""
+    from text_similarity_node_spark.operators.text_analysis import hash_split
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        hash_split(F.col("doc_id"), train_fraction=0.9, salt="r3").alias("split"),
+    )
+
+
+_Q42_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN substring(md5('r3' || doc_id::VARCHAR), 1, 2) < 'e6'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2133,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_multimodal_neardup_clusters": q39_multimodal_neardup_clusters,
         "q40_benchmark_contamination": q40_benchmark_contamination,
         "q41_event_sessionization": q41_event_sessionization,
+        "q42_train_val_split": q42_train_val_split,
     }
 
 
@@ -2178,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         "q39_multimodal_neardup_clusters": _Q39_SQL,
         "q40_benchmark_contamination": _Q40_SQL,
         "q41_event_sessionization": _Q41_SQL,
+        "q42_train_val_split": _Q42_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -111,3 +111,20 @@ def contamination_check(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )
+
+
+def hash_split(id_col: Column, train_fraction: float = 0.9, salt: str = "") -> Column:
+    """Deterministic, content-stable train/val assignment: the first two
+    hex chars of md5(salt || id) give 256 uniform buckets; the id lands in
+    'train' iff its bucket string sorts below the threshold bucket.  The
+    lexicographic compare on fixed-width lowercase hex deliberately avoids
+    engine-specific hex->int conversion, so the exact same rule is
+    expressible in any SQL dialect (the q42 DuckDB oracle uses the literal
+    CASE translation).  Salting re-rolls the split without touching ids;
+    stability under corpus growth (a doc's split never depends on other
+    rows) is what makes the op safe to run incrementally at ingest — no
+    shuffle, no state, pure map-side."""
+    buckets = int(round(train_fraction * 256))
+    thr = format(buckets, "02x")
+    h = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 2)
+    return F.when(h < F.lit(thr), F.lit("train")).otherwise(F.lit("val"))
