@@ -2105,6 +2105,125 @@ FROM documents
 """
 
 
+def q43_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (the 'repetition removal' stage of
+    a web-scale text pipeline): per doc, the duplicate-word fraction
+    (map-side, operators/text_analysis.repetition_stats) and the
+    top-bigram fraction (grouped argmax over exploded word bigrams — one
+    shuffle on (doc_id, bigram), partial agg map-side).  All fractions
+    travel as integer micro-fractions (floor(x*1e6), exact in both
+    engines) per the oracle-hash rule."""
+    from text_similarity_node_spark.operators.text_analysis import (
+        micro_frac,
+        repetition_stats,
+        word_shingles,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", C.word_tokens(F.col("text")).alias("w")
+    )
+    dup_micro, total = repetition_stats(F.col("w"))
+    base = docs.select(
+        "doc_id", dup_micro.alias("dup_word_frac_micro"), total.alias("total_words")
+    )
+    bi = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("w"), 2)).alias("g")
+    )
+    top = (
+        bi.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bi"))
+        .select("doc_id", micro_frac(F.col("top_c"), F.col("n_bi")).alias(
+            "top_bigram_frac_micro"))
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "total_words",
+        "dup_word_frac_micro",
+        F.coalesce("top_bigram_frac_micro", F.lit(0)).alias(
+            "top_bigram_frac_micro"),
+    )
+
+
+_Q43_SQL = """
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(text, '\\w+') AS w FROM documents
+),
+base AS (
+  SELECT doc_id,
+         len(w)::BIGINT AS total_words,
+         CASE WHEN len(w) > 0
+              THEN ((len(w) - len(list_distinct(w))) * 1000000) // len(w)
+              ELSE 0 END::BIGINT AS dup_word_frac_micro
+  FROM words
+),
+bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+  WHERE len(w) >= 2
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, ((max(c) * 1000000) // sum(c))::BIGINT AS top_bigram_frac_micro
+  FROM cnt GROUP BY doc_id
+)
+SELECT b.doc_id, b.total_words, b.dup_word_frac_micro,
+       coalesce(t.top_bigram_frac_micro, 0)::BIGINT AS top_bigram_frac_micro
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+"""
+
+
+def q44_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email redaction), the map-side sanitation stage of a
+    training-data pipeline.  The corpus carries no natural emails, so they
+    are PLANTED deterministically (docs with doc_id % 11 == 3 get
+    ' contact user{doc_id}@example.com now' appended — both engines derive
+    the same corpus); the Spark side must count and redact exactly those
+    spans.  The redacted text is verified via md5 (compact, hash-stable
+    both engines); the regex keeps to classes + '+' so Java regex and RE2
+    agree byte-for-byte."""
+    from text_similarity_node_spark.operators.text_analysis import (
+        email_count,
+        redact_emails,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    withpii = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return withpii.select(
+        "doc_id",
+        email_count(F.col("text")).cast("long").alias("n_emails"),
+        F.md5(redact_emails(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+_Q44_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 3
+              THEN text || ' contact user' || doc_id::VARCHAR || '@example.com now'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+'))::BIGINT
+         AS n_emails,
+       md5(regexp_replace(text, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'))
+         AS redacted_md5
+FROM corpus
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2159,6 +2278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_benchmark_contamination": q40_benchmark_contamination,
         "q41_event_sessionization": q41_event_sessionization,
         "q42_train_val_split": q42_train_val_split,
+        "q43_repetition_stats": q43_repetition_stats,
+        "q44_pii_redaction": q44_pii_redaction,
     }
 
 
@@ -2205,6 +2326,8 @@ def oracle_sql() -> dict[str, str]:
         "q40_benchmark_contamination": _Q40_SQL,
         "q41_event_sessionization": _Q41_SQL,
         "q42_train_val_split": _Q42_SQL,
+        "q43_repetition_stats": _Q43_SQL,
+        "q44_pii_redaction": _Q44_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

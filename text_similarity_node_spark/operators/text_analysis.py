@@ -128,3 +128,39 @@ def hash_split(id_col: Column, train_fraction: float = 0.9, salt: str = "") -> C
     thr = format(buckets, "02x")
     h = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 2)
     return F.when(h < F.lit(thr), F.lit("train")).otherwise(F.lit("val"))
+
+
+EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+
+
+def redact_emails(text: Column) -> Column:
+    """Replace every email-shaped span with '<EMAIL>'.  The pattern keeps
+    to character classes and '+' so Java regex (Spark) and RE2 (DuckDB)
+    agree byte-for-byte — the q44 oracle runs the identical pattern.
+    Map-side only: PII scrubbing composes with any scan."""
+    return F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+
+
+def email_count(text: Column) -> Column:
+    """Number of email-shaped spans (size of regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+
+
+def micro_frac(num: Column, den: Column) -> Column:
+    """floor(num * 1e6 / den) as BIGINT — the integer channel used for
+    every oracle-hashed fraction (floor of a double ratio is exact for
+    numerators < 2^53, and DuckDB's integer ``//`` computes the same
+    value, so the two engines agree bit-for-bit)."""
+    return F.when(
+        den > 0, F.floor(num.cast("double") * 1_000_000 / den)
+    ).otherwise(F.lit(0)).cast("long")
+
+
+def repetition_stats(tokens: Column) -> tuple[Column, Column]:
+    """Gopher-style repetition signals: (dup_word_frac_micro, total_words).
+    dup fraction = 1 - distinct/total over word tokens, as an integer
+    micro-fraction.  Map-side only; the top-n-gram fraction (which needs a
+    per-doc argmax over exploded grams) lives in q43's grouped plan."""
+    total = F.size(tokens)
+    nd = F.size(F.array_distinct(tokens))
+    return micro_frac(total - nd, total), total
