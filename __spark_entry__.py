@@ -2224,6 +2224,61 @@ FROM corpus
 """
 
 
+def q45_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analogue (shipping priority): the canonical 3-way
+    fact/dimension join — customer filtered to one segment (small side,
+    broadcast), orders date-filtered at the scan (PushedFilters), lineitem
+    date-filtered at the scan, shuffle join on orderkey, agg, top-10 with
+    a total order.  Revenue travels as round(ep*(1-disc)*10000) BIGINT
+    (both engines compute the same double product and round once — no
+    float sums in the hash)."""
+    d = "1998-06-15"
+    cust = (
+        _load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > d)
+        .select(
+            "l_orderkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long").alias("rev_x10000"),
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_x10000").alias("revenue_x10000"))
+        .orderBy(F.desc("revenue_x10000"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q45_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT
+         AS revenue_x10000
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate  > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_x10000 DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2280,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_train_val_split": q42_train_val_split,
         "q43_repetition_stats": q43_repetition_stats,
         "q44_pii_redaction": q44_pii_redaction,
+        "q45_shipping_priority": q45_shipping_priority,
     }
 
 
@@ -2328,6 +2384,7 @@ def oracle_sql() -> dict[str, str]:
         "q42_train_val_split": _Q42_SQL,
         "q43_repetition_stats": _Q43_SQL,
         "q44_pii_redaction": _Q44_SQL,
+        "q45_shipping_priority": _Q45_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
