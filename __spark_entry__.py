@@ -2279,6 +2279,50 @@ LIMIT 10
 """
 
 
+def q46_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event matched to the latest
+    order at-or-before its timestamp for the same customer — the
+    time-series primitive Spark lacks, built as union + one shuffle +
+    in-partition carry-forward window (NOT an exploding range join).
+    Oracle: DuckDB's native ASOF LEFT JOIN over the identical deduped
+    right side — a rare case where the oracle engine has the operator
+    built in and the Spark side must reproduce it exactly."""
+    from text_similarity_node_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+        .select("o_custkey", "o_orderdate", "last_orderkey")
+    )
+    out = asof_join(
+        ev.withColumnRenamed("user_id", "k").withColumnRenamed("ts", "ets"),
+        orders.withColumnRenamed("o_custkey", "k"),
+        key="k",
+        left_ts="ets",
+        right_ts="o_orderdate",
+        payload_cols=["last_orderkey"],
+    )
+    return out.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("ets").alias("ts"),
+        "last_orderkey",
+    )
+
+
+_Q46_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, r.last_orderkey
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2336,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_repetition_stats": q43_repetition_stats,
         "q44_pii_redaction": q44_pii_redaction,
         "q45_shipping_priority": q45_shipping_priority,
+        "q46_asof_join": q46_asof_join,
     }
 
 
@@ -2385,6 +2430,7 @@ def oracle_sql() -> dict[str, str]:
         "q43_repetition_stats": _Q43_SQL,
         "q44_pii_redaction": _Q44_SQL,
         "q45_shipping_priority": _Q45_SQL,
+        "q46_asof_join": _Q46_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
