@@ -2323,6 +2323,49 @@ ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 """
 
 
+def q47_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join (operators/rangejoin.py): events landing
+    within 7 days at-or-after an order by the same customer.  Catalyst
+    would plan the raw inequality as BroadcastNestedLoop (|L|x|R| per
+    key); the operator's width-W time bucketing turns it into an equi-join
+    on (customer, bucket) with <= 2-way right-side replication.  The
+    oracle states the same predicate as the naive inequality join —
+    exactly the pairs the bucketed plan must reproduce."""
+    from text_similarity_node_spark.operators.rangejoin import interval_join
+
+    week_us = 7 * 24 * 3600 * 1_000_000
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us"),
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("lo_us"),
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")) + week_us
+        ).alias("hi_us"),
+    )
+    out = interval_join(
+        ev, orders, left_val="ev_us", right_lo="lo_us", right_hi="hi_us",
+        max_width=week_us, keys=["k"],
+    )
+    return out.select(
+        "event_id", F.col("k").alias("user_id"), "o_orderkey"
+    )
+
+
+_Q47_SQL = """
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e
+JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+ AND epoch_us(e.ts) < epoch_us(o.o_orderdate) + 604800000000::BIGINT
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2381,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_pii_redaction": q44_pii_redaction,
         "q45_shipping_priority": q45_shipping_priority,
         "q46_asof_join": q46_asof_join,
+        "q47_interval_join": q47_interval_join,
     }
 
 
@@ -2431,6 +2475,7 @@ def oracle_sql() -> dict[str, str]:
         "q44_pii_redaction": _Q44_SQL,
         "q45_shipping_priority": _Q45_SQL,
         "q46_asof_join": _Q46_SQL,
+        "q47_interval_join": _Q47_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
