@@ -2366,6 +2366,78 @@ JOIN orders o
 """
 
 
+def q48_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality filter — the keep/drop stage a training-data pipeline
+    runs before any similarity pass: per-clip clipping and silence metrics
+    over the raw PCM, then a policy flag.  Clips are synthesized with
+    PLANTED DEFECTS (operators/audio.py:synth_quality_pcm_udf): ids
+    % 7 == 3 are over-driven (~37% of samples clamp at full scale), ids
+    % 11 == 4 are half-silent; the analytic trunc/clamp integer waveform
+    lets the DuckDB oracle recompute the exact samples (q27 construction).
+    Metrics stay in integer channels (counts + micro-scaled ratio) so the
+    value hash has no float path.  Keep policy: zero clipped permille and
+    silence <= 30% — clean margins against the planted regimes (~506_400
+    vs ~12_700 micro on this waveform).
+    Scale: payload synthesized and consumed in ONE stage (never shuffles);
+    metrics are 4 ints/clip; the filter is a map-only plan, no shuffle at
+    all until the final presentation sort."""
+    from text_similarity_node_spark.operators.audio import (
+        audio_quality_udf,
+        synth_quality_pcm_udf as synth,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    clips = docs.select("doc_id", synth(F.col("doc_id")).alias("bytes"))
+    m = clips.select("doc_id", audio_quality_udf(F.col("bytes")).alias("q"))
+    # `div` (not `/`): both sides of the oracle do exact BIGINT floor
+    # division — no double channel anywhere in the hashed columns
+    return (
+        m.select(
+            "doc_id",
+            F.col("q.n_samples").alias("n_samples"),
+            F.col("q.n_clipped").alias("n_clipped"),
+            F.expr("(1000000L * q.n_silent) div q.n_samples").alias(
+                "silence_micro"
+            ),
+            F.col("q.peak").alias("peak"),
+            F.expr(
+                "CAST((1000L * q.n_clipped) div q.n_samples = 0"
+                " AND (1000000L * q.n_silent) div q.n_samples <= 300000"
+                " AS INT)"
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q48_SQL = """
+WITH samp AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 11 = 4 AND i < 400 THEN 0.0
+              ELSE least(greatest(trunc(
+                     (CASE WHEN d.doc_id % 7 = 3 THEN 39321.0 ELSE 16384.0 END)
+                     * sin(2 * pi() * (100 + d.doc_id % 400) * i / 16000.0)),
+                   -32767.0), 32767.0)
+         END AS s
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, 799)) AS i)
+), m AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_samples,
+         sum((abs(s) >= 32767)::INT)::BIGINT AS n_clipped,
+         sum((abs(s) < 328)::INT)::BIGINT AS n_silent,
+         max(abs(s))::BIGINT AS peak
+  FROM samp GROUP BY doc_id
+)
+SELECT doc_id, n_samples, n_clipped,
+       ((1000000 * n_silent) // n_samples)::BIGINT AS silence_micro,
+       peak,
+       ((1000 * n_clipped) // n_samples = 0
+        AND (1000000 * n_silent) // n_samples <= 300000)::INT AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2425,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_shipping_priority": q45_shipping_priority,
         "q46_asof_join": q46_asof_join,
         "q47_interval_join": q47_interval_join,
+        "q48_audio_quality": q48_audio_quality,
     }
 
 
@@ -2476,6 +2549,7 @@ def oracle_sql() -> dict[str, str]:
         "q45_shipping_priority": _Q45_SQL,
         "q46_asof_join": _Q46_SQL,
         "q47_interval_join": _Q47_SQL,
+        "q48_audio_quality": _Q48_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -148,6 +148,72 @@ def synth_sine1s_pcm_udf(sr_hz: int = 16000, amp: float = 0.5,
     return udf
 
 
+#: int16 sample magnitude treated as "clipped" (symmetric full scale).
+CLIP_LEVEL = 32767
+#: |sample| below this (~1% of full scale) counts as silence.
+SILENCE_LEVEL = 328
+
+QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_clipped", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(QUALITY_SCHEMA)
+def audio_quality_udf(payload: pd.Series) -> pd.DataFrame:
+    """Integer-domain quality metrics of a pcm_s16le payload: sample count,
+    clipped-sample count (|s| >= CLIP_LEVEL), silent-sample count
+    (|s| < SILENCE_LEVEL), and peak |s|.  Stays in int64 end-to-end so the
+    metrics are oracle-hashable without float channels; the keep/drop
+    policy (ratios, thresholds) lives in plain column expressions on top.
+    Scale: one Arrow batch pass, payload consumed where produced."""
+    rows = np.zeros((len(payload), 4), dtype=np.int64)
+    for i, b in enumerate(payload):
+        if b is None or len(b) == 0:
+            continue
+        s = np.abs(np.frombuffer(b, dtype="<i2").astype(np.int64))
+        rows[i] = (
+            len(s),
+            int((s >= CLIP_LEVEL).sum()),
+            int((s < SILENCE_LEVEL).sum()),
+            int(s.max()),
+        )
+    return pd.DataFrame(
+        rows, columns=["n_samples", "n_clipped", "n_silent", "peak"]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_quality_pcm_udf(doc_id: pd.Series) -> pd.Series:
+    """Deterministic pcm_s16le payload per id with PLANTED QUALITY DEFECTS
+    (the q48 fixture): 800-sample 16 kHz sine at 100 + id % 400 Hz.
+    ids % 7 == 3 are over-driven (amplitude 39321 -> ~37% of samples clamp
+    at +/-32767: hard clipping); ids % 11 == 4 have their first 400 samples
+    gated to zero (half-silent).  Everything is trunc/clamp integer
+    arithmetic over an analytic waveform, so a SQL oracle reproduces the
+    exact samples; the phase term mirrors the oracle's left-to-right
+    association (2*pi*f) * i / 16000."""
+    out = []
+    i = np.arange(800, dtype=np.float64)
+    for d in doc_id:
+        d = int(d)
+        freq = 100.0 + (d % 400)
+        amp = 39321.0 if d % 7 == 3 else 16384.0
+        x = np.clip(
+            np.trunc(amp * np.sin((2.0 * np.pi * freq) * i / 16000.0)),
+            -32767.0,
+            32767.0,
+        )
+        if d % 11 == 4:
+            x[:400] = 0.0
+        out.append(x.astype("<i2").tobytes())
+    return pd.Series(out)
+
+
 def resample_stub(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     """DETERMINISTIC FAKE resampler (linear interpolation) — marked stub:
     a real pipeline would use a polyphase filter from an audio library not
