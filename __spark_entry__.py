@@ -2438,6 +2438,139 @@ FROM m ORDER BY doc_id
 """
 
 
+def q49_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIERED dedup cascade — the namesake shape of this engine: tier 1
+    exact (md5 hash-groupBy), then tier 2 near-dup (multiset trigram
+    Jaccard >= 0.55, q04's predicate) over the tier-1 SURVIVORS only, with
+    connected components assigning one final keeper per near-dup cluster.
+    Emits per-doc (tier, final_id): tier 1 = exact copy of an earlier doc,
+    tier 2 = survivor clustered under a smaller-id near-dup, tier 0 = kept;
+    final_id is the ultimate keeper (exact canonical's cluster minimum) —
+    what a training-data pipeline joins against to materialize the kept
+    set.  The cascade ordering is the scale story: the cheap exact pass
+    shrinks the expensive near-dup pass's input, and the near-dup tier
+    never sees two identical texts.  Tier-2 candidates here use the exact
+    inverted-index join (audit scale); at 10^12 rows the candidate stage is
+    q37's LSH -> prefilter -> verify — same semantics, same oracle family.
+    All output channels are integers (tier, ids) — no float in the hash.
+    Oracle: same cascade in SQL with a recursive-CTE transitive closure
+    standing in for the distributed label propagation."""
+    from text_similarity_node_spark.operators.components import (
+        connected_components,
+    )
+    from text_similarity_node_spark.operators.dedup import exact_dedup
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    ex = exact_dedup(corpus, "doc_id", "text").persist()
+    surv = ex.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        "doc_id", "text", "lang", F.length("text").alias("n_chars")
+    )
+    flat = (
+        surv.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.explode(C.char_ngrams(F.col("text"), 3)).alias("g"),
+            F.greatest(F.length("text") - 2, F.lit(1)).alias("total"),
+        )
+        .groupBy("doc_id", "lang", "n_chars", "total", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = flat.alias("a"), flat.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(
+            F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("isz"),
+            F.first(F.col("a.total")).alias("t1"),
+            F.first(F.col("b.total")).alias("t2"),
+        )
+    )
+    edges = inter.filter(
+        F.col("isz").cast("double") / (F.col("t1") + F.col("t2") - F.col("isz"))
+        >= 0.55
+    ).select("id1", "id2")
+    cc = connected_components(edges)  # (clip_id, cluster_id); singletons absent
+    surv_m = (
+        surv.select("doc_id")
+        .join(cc, surv["doc_id"] == cc["clip_id"], "left")
+        .select(
+            F.col("doc_id").alias("surv_id"),
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("m"),
+        )
+    )
+    return (
+        ex.select("doc_id", "canonical_id")
+        .join(surv_m, F.col("canonical_id") == F.col("surv_id"))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("canonical_id"), 1)
+            .when(F.col("m") != F.col("doc_id"), 2)
+            .otherwise(0)
+            .cast("int")
+            .alias("tier"),
+            F.col("m").alias("final_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q49_SQL = f"""
+WITH RECURSIVE corpus AS ({_DEDUP_CORPUS_SQL}),
+ex AS (
+  SELECT doc_id, text, lang, min(doc_id) OVER (PARTITION BY text) AS c
+  FROM corpus
+),
+surv AS (
+  SELECT doc_id, text, lang, length(text) AS n_chars FROM ex WHERE doc_id = c
+),
+grams AS (
+  SELECT doc_id, substring(text, i, 3) AS g, count(*) AS cnt
+  FROM surv,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i)
+  GROUP BY doc_id, substring(text, i, 3)
+),
+meta AS (
+  SELECT doc_id, lang, n_chars, greatest(length(text) - 2, 1) AS total FROM surv
+),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, sum(least(g1.cnt, g2.cnt)) AS isz
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+),
+edges AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN meta m1 ON m1.doc_id = i.a
+  JOIN meta m2 ON m2.doc_id = i.b
+  WHERE m1.lang = m2.lang AND abs(m1.n_chars - m2.n_chars) <= 40
+    AND i.isz::DOUBLE / (m1.total + m2.total - i.isz) >= 0.55
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM surv
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+clus AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a)
+SELECT e.doc_id,
+       (CASE WHEN e.doc_id != e.c THEN 1
+             WHEN cl.m != e.doc_id THEN 2
+             ELSE 0 END)::INT AS tier,
+       cl.m AS final_id
+FROM ex e JOIN clus cl ON cl.doc_id = e.c
+ORDER BY e.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2498,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_asof_join": q46_asof_join,
         "q47_interval_join": q47_interval_join,
         "q48_audio_quality": q48_audio_quality,
+        "q49_dedup_cascade": q49_dedup_cascade,
     }
 
 
@@ -2550,6 +2684,7 @@ def oracle_sql() -> dict[str, str]:
         "q46_asof_join": _Q46_SQL,
         "q47_interval_join": _Q47_SQL,
         "q48_audio_quality": _Q48_SQL,
+        "q49_dedup_cascade": _Q49_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
