@@ -85,3 +85,52 @@ def test_stream_matches_batch_rule(spark):
     finally:
         for d in (src, out, cp):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_idle_timeout_flushes_open_session(spark):
+    """With idle_timeout_ms set, a key absent from later batches has its
+    OPEN session flushed (emitted + state freed) when the timeout fires on
+    a subsequent micro-batch — the bounded-state mode.  User 7 only exists
+    in batch 1; user 8 keeps batch 2 non-empty so the operator runs."""
+    batch1 = [(7, 0, 0, 3), (7, 1_000_000, 1, 4)]
+    batch2 = [(8, 0, 2, 5)]
+    src = tempfile.mkdtemp(prefix="tsn_sess_ttl_src_")
+    out = tempfile.mkdtemp(prefix="tsn_sess_ttl_out_")
+    cp = tempfile.mkdtemp(prefix="tsn_sess_ttl_cp_")
+    cols = ["user_id", "ts_us", "event_id", "value_cents"]
+    try:
+        for i, batch in enumerate([batch1, batch2]):
+            pdf = pd.DataFrame(batch, columns=cols).astype("int64")
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(
+                os.path.join(src, f"b{i}"), mode="overwrite"
+            )
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts_us long, event_id long, value_cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            sessionize_stream(stream, gap_us=GAP_US, idle_timeout_ms=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.user_id: (r.session_start_us, r.session_end_us, r.n_events,
+                        r.value_cents)
+            for r in spark.read.parquet(out).collect()
+        }
+        # user 7's open session was flushed by the timeout on batch 2
+        assert got[7] == (0, 1_000_000, 2, 7)
+        # user 8 arrived in the last data batch; availableNow may run one
+        # more timeout-only batch before terminating, so its session is
+        # either still open (absent) or flushed with these exact values
+        assert got.get(8, (0, 0, 1, 5)) == (0, 0, 1, 5)
+    finally:
+        for d in (src, out, cp):
+            shutil.rmtree(d, ignore_errors=True)

@@ -13,10 +13,18 @@ operator's output stable under any micro-batch slicing of the same input
 
 Scale shape: state is hash-partitioned by user_id by the engine; each
 micro-batch shuffles only its own rows (state is local to the partition),
-and the per-group pandas fold is O(events in batch).  An idle-session
-TTL would use GroupStateTimeout.ProcessingTimeTimeout; the operator keeps
-NoTimeout so results are a pure function of the input — the property the
-equivalence test relies on.
+and the per-group pandas fold is O(events in batch).
+
+State growth: without a TTL, a key that never returns (abandoned user)
+holds its open session forever — unbounded state at web scale.  Pass
+``idle_timeout_ms`` to switch to ProcessingTimeTimeout: a key idle that
+long has its open session FLUSHED as closed and its state removed (the
+semantics of "wall-clock idle >> gap" — at any idle_timeout comfortably
+above the gap, a flushed session is one the gap rule would eventually
+close anyway).  The default stays NoTimeout, where results are a pure
+function of the input — the property the equivalence test relies on;
+with a TTL the flush depends on processing time, which is exactly why
+it is opt-in.
 """
 
 from __future__ import annotations
@@ -50,14 +58,36 @@ STATE_SCHEMA = StructType(
 )
 
 
+_OUT_COLS = [
+    "user_id",
+    "session_start_us",
+    "session_end_us",
+    "n_events",
+    "value_cents",
+]
+
+
 def sessionize_stream(
-    events: DataFrame, gap_us: int = 1_800_000_000
+    events: DataFrame,
+    gap_us: int = 1_800_000_000,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """events(user_id long, ts_us long, event_id long, value_cents long),
-    streaming -> closed sessions, append mode."""
+    streaming -> closed sessions, append mode.  With ``idle_timeout_ms``,
+    idle keys flush their open session and free their state (see module
+    docstring for the semantics trade)."""
 
     def fold(key, pdfs, state: GroupState):
         (user_id,) = key
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            if state.exists:
+                start, last, n, cents = state.get
+                state.remove()
+                if start is not None:
+                    yield pd.DataFrame(
+                        [(user_id, start, last, n, cents)], columns=_OUT_COLS
+                    )
+            return
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts_us", "event_id"]
         )
@@ -77,22 +107,19 @@ def sessionize_stream(
             else:
                 last, n, cents = ts, n + 1, cents + v
         state.update((start, last, n, cents))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=[
-                    "user_id",
-                    "session_start_us",
-                    "session_end_us",
-                    "n_events",
-                    "value_cents",
-                ],
-            )
+            yield pd.DataFrame(closed, columns=_OUT_COLS)
 
     return events.groupBy("user_id").applyInPandasWithState(
         fold,
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
