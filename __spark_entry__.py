@@ -2571,6 +2571,53 @@ ORDER BY e.doc_id
 """
 
 
+def q50_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-content near-dup pairs (operators/image.py:video_neardup):
+    sampled-frame pHashes through the salted pigeonhole Hamming join, with
+    temporal corroboration (>= 2 matching sampled positions) — the video
+    leg of the multimodal dedup family (q32 audio, q34 image).  Corpus:
+    one deterministic 6-frame raw stream per doc (frame sequence keyed by
+    doc_id % 40) plus per-frame-noised re-encodes at doc_id + 1_000_000
+    for doc_id % 6 == 0.  Two clips share a frame sequence iff their ids
+    are congruent mod 40 — the closed-form SQL oracle.  Exactness: the
+    frame family is the q34 image family (measured intra-class Hamming
+    <= 4, inter-class >= 19 at radius 6), and noise is per-frame, so ALL
+    3 sampled positions match intra-class and none inter-class — the
+    min_frames=2 gate passes exactly the same-class pairs."""
+    from text_similarity_node_spark.operators.image import (
+        synth_video_udf,
+        video_neardup,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    corpus = base.unionByName(copies).withColumn(
+        "bytes", synth_video_udf()(F.col("doc_id"))
+    )
+    pairs = video_neardup(
+        corpus, "doc_id", "bytes", every_k=2, hamming_radius=6, min_frames=2
+    )
+    return pairs.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+    )
+
+
+_Q50_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 6 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2, 3::BIGINT AS n_frames_matched
+FROM corpus a JOIN corpus b
+  ON a.doc_id < b.doc_id AND a.doc_id % 40 = b.doc_id % 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2632,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_interval_join": q47_interval_join,
         "q48_audio_quality": q48_audio_quality,
         "q49_dedup_cascade": q49_dedup_cascade,
+        "q50_video_neardup": q50_video_neardup,
     }
 
 
@@ -2685,6 +2733,7 @@ def oracle_sql() -> dict[str, str]:
         "q47_interval_join": _Q47_SQL,
         "q48_audio_quality": _Q48_SQL,
         "q49_dedup_cascade": _Q49_SQL,
+        "q50_video_neardup": _Q50_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

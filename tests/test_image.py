@@ -17,6 +17,8 @@ from text_similarity_node_spark.operators.image import (
     phash64,
     resize_bilinear,
     synth_image_udf,
+    synth_video_udf,
+    video_neardup,
 )
 
 
@@ -94,3 +96,60 @@ def test_image_neardup_recovers_classes(spark):
     }
     want = {(min(a, b), max(a, b)) for a, b in want}
     assert found == want
+
+
+def test_video_neardup_recovers_classes(spark):
+    """40-class 6-frame streams + per-frame-noised re-encodes: the
+    frame-pHash join with temporal corroboration (>= 2 of 3 sampled
+    positions) must recover exactly the same-class pairs, each matched on
+    all 3 sampled positions."""
+    ids = list(range(80)) + [1_000_000 + i for i in range(0, 80, 6)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long").withColumn(
+        "bytes", synth_video_udf()(F.col("doc_id"))
+    )
+    rows = video_neardup(
+        df, "doc_id", "bytes", every_k=2, hamming_radius=6, min_frames=2
+    ).collect()
+    found = {(r.id1, r.id2) for r in rows}
+    want = {
+        (min(a, b), max(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if a % 40 == b % 40
+    }
+    assert found == want
+    assert all(r.n_frames_matched == 3 for r in rows)
+
+
+def test_video_neardup_single_frame_collision_rejected(spark):
+    """min_frames=2 drops a pair that agrees on only one sampled position:
+    clip B copies clip A's frames at position 0 only (sampled positions
+    0, 2, 4 — positions 2 and 4 come from a different class)."""
+    import pandas as pd
+
+    from text_similarity_node_spark.operators.image import encode_raw_rgb8
+
+    def frames_for(cls, n=6):
+        out = []
+        for f in range(n):
+            base = np.random.RandomState(1000 + cls * 101 + f).rand(8, 8)
+            x = np.kron(base, np.ones((8, 8))) * 255.0
+            out.append(
+                np.clip(x, 0, 255).astype(np.uint8)[..., None].repeat(3, axis=2)
+            )
+        return out
+
+    a = frames_for(1)
+    b = frames_for(2)
+    b[0] = a[0]  # one shared sampled position
+    payloads = [
+        (1, b"".join(encode_raw_rgb8(f) for f in a)),
+        (2, b"".join(encode_raw_rgb8(f) for f in b)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(payloads, columns=["doc_id", "bytes"])
+    )
+    got = video_neardup(
+        df, "doc_id", "bytes", every_k=2, hamming_radius=6, min_frames=2
+    ).collect()
+    assert got == []

@@ -178,6 +178,94 @@ def synth_image_udf(n_classes: int = 40, noise_amp: float = 4.0):
     return udf
 
 
+def synth_video_udf(
+    n_classes: int = 40, n_frames: int = 6, noise_amp: float = 4.0
+):
+    """Deterministic raw frame stream per id: ``n_frames`` 64x64 raw_rgb8
+    frames back-to-back, frame f keyed by (id % n_classes, f) — a
+    class-specific frame SEQUENCE, the video analogue of
+    ``synth_image_udf``.  Ids >= 1_000_000 carry per-frame seeded noise
+    (the planted "same video, re-encoded" rows); 1_000_000 % 40 == 0, so
+    id % n_classes is the ground-truth pairing key (the q50 oracle)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            frames = []
+            for f in range(n_frames):
+                base = np.random.RandomState(
+                    1000 + (d % n_classes) * 101 + f
+                ).rand(8, 8)
+                x = np.kron(base, np.ones((8, 8))) * 255.0
+                if d >= 1_000_000:
+                    x = x + (
+                        np.random.RandomState((d + 7919 * f) % 2**31)
+                        .randn(64, 64)
+                        * noise_amp
+                    )
+                img = np.clip(x, 0, 255).astype(np.uint8)[..., None].repeat(
+                    3, axis=2
+                )
+                frames.append(encode_raw_rgb8(img))
+            out.append(b"".join(frames))
+        return pd.Series(out)
+
+    return udf
+
+
+def video_neardup(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    every_k: int = 2,
+    hamming_radius: int = 6,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Video near-dup pairs: sample every k-th frame, pHash each sampled
+    frame, and require >= ``min_frames`` sampled positions whose hashes
+    land within ``hamming_radius`` — temporal corroboration on top of the
+    per-frame perceptual match (one lucky frame collision can't pair two
+    clips).  Returns (id1, id2, n_frames_matched).
+
+    Scale shape: frames never shuffle — the payload is consumed by one
+    Arrow pass into <= n_frames/k 64-bit hashes per clip.  Each (clip,
+    position) becomes a pseudo-doc (id*64 + pos) routed through the SAME
+    salted/capped pigeonhole block join as the text SimHash pass, so a
+    degenerate frame (all-black intros across a corpus) hits the hot-key
+    disposition instead of one reducer; position equality is enforced on
+    the candidate output (cross-position collisions are dropped before
+    the pair aggregate)."""
+    from ..config import PipelineConfig
+    from . import simhash
+
+    cfg = PipelineConfig(hamming_radius=hamming_radius)
+    hashed = df.select(
+        F.col(id_col),
+        F.posexplode(frame_phashes_udf(every_k)(F.col(bytes_col))).alias(
+            "pos", "simhash"
+        ),
+    )
+    # pos < 1024 by contract (~34 min of video at the default 2-frame
+    # stride); longer clips would alias pseudo-ids — callers chunk first
+    pseudo = hashed.select(
+        (F.col(id_col) * 1024 + F.col("pos")).alias("clip_id"), "simhash"
+    )
+    cands = simhash.simhash_candidates(pseudo, cfg)
+    return (
+        cands.filter(F.col("id1") % 1024 == F.col("id2") % 1024)
+        .select(
+            F.expr("id1 div 1024").alias("id1"),
+            F.expr("id2 div 1024").alias("id2"),
+            (F.col("id1") % 1024).alias("pos"),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.countDistinct("pos").alias("n_frames_matched"))
+        .filter(F.col("n_frames_matched") >= min_frames)
+    )
+
+
 def image_neardup(
     df: DataFrame,
     id_col: str,
