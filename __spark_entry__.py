@@ -2618,6 +2618,69 @@ FROM corpus a JOIN corpus b
 """
 
 
+def q51_audio_shift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-SHIFT robustness of the acoustic fingerprint: copies here are
+    the same recording shifted by one landmark hop (128 ms), the case
+    every re-encoded/clipped upload hits and the one q32's stationary
+    sines cannot probe (a constant tone looks the same at any offset).
+    Corpus: a non-stationary 4-tone melody per doc keyed by doc_id % 400
+    (operators/audio.py:synth_melody_pcm_udf) plus one-hop-shifted
+    windows of the SAME waveform at doc_id + 1_000_000 for
+    doc_id % 6 == 0.  Matching pairs exist only because the constellation
+    scheme's (f1, f2, dt) landmarks are RELATIVELY anchored — with the
+    shift equal to the frame hop, the copy's frames are sample-identical
+    to the base's frames 1..N-1, so interior landmark hashes coincide
+    exactly.  Congruence mod 400 is the closed-form oracle (recall and
+    precision 1.0 on this corpus).  Candidate stage only, by design: the
+    sample-aligned SNR verifier is exactly what a time shift defeats — a
+    production verify for shifted copies aligns by cross-correlation
+    first (documented gap; the fingerprint stage is what's under audit).
+    """
+    from text_similarity_node_spark.operators.audio import (
+        synth_melody_pcm_udf,
+    )
+    from text_similarity_node_spark.operators.audio_fp import (
+        audio_fingerprint_pairs,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_melody_pcm_udf()
+    corpus = (
+        base.unionByName(copies)
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    pairs = audio_fingerprint_pairs(
+        corpus,
+        "doc_id",
+        "bytes",
+        min_matches=2,
+        frame_len=4096,
+        hop=2048,
+        peaks_per_frame=1,
+        fanout=2,
+        freq_quant_hz=1.0,
+    )
+    return pairs.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q51_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 6 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM corpus a JOIN corpus b
+  ON a.doc_id < b.doc_id AND a.doc_id % 400 = b.doc_id % 400
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2680,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_audio_quality": q48_audio_quality,
         "q49_dedup_cascade": q49_dedup_cascade,
         "q50_video_neardup": q50_video_neardup,
+        "q51_audio_shift_pairs": q51_audio_shift_pairs,
     }
 
 
@@ -2734,6 +2798,7 @@ def oracle_sql() -> dict[str, str]:
         "q48_audio_quality": _Q48_SQL,
         "q49_dedup_cascade": _Q49_SQL,
         "q50_video_neardup": _Q50_SQL,
+        "q51_audio_shift_pairs": _Q51_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

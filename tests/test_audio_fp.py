@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from text_similarity_node_spark.operators.audio_fp import (
     audio_fingerprint_pairs,
+    audio_landmarks_udf,
     audio_neardup,
 )
 from text_similarity_node_spark.sources.clips import ClipsSpec, generate_clips
@@ -112,3 +113,31 @@ def test_multimodal_neardup_catches_corrupted_transcripts(spark):
     )
     assert text_only != want  # corruption really breaks the text path
     assert multi == want      # the audio edges repair it
+
+
+def test_landmarks_shift_invariant_on_nonstationary_clip(spark):
+    """A one-hop time shift of a NON-stationary melody keeps >= 2 interior
+    landmark hashes (relative (f1, f2, dt) anchoring), while a different
+    class shares none — the q51 construction at operator level."""
+    import pandas as pd
+
+    from text_similarity_node_spark.operators.audio import (
+        synth_melody_pcm_udf,
+    )
+
+    ids = [5, 1_000_005, 17]  # base, its shifted copy, other class
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids})).select(
+        "doc_id",
+        synth_melody_pcm_udf()(F.col("doc_id")).alias("bytes"),
+        F.lit(16000).alias("sr_hz"),
+    )
+    rows = df.select(
+        "doc_id",
+        audio_landmarks_udf(
+            frame_len=4096, hop=2048, peaks_per_frame=1, fanout=2,
+            freq_quant_hz=1.0,
+        )(F.col("bytes"), F.col("sr_hz")).alias("h"),
+    ).collect()
+    h = {r.doc_id: set(r.h) for r in rows}
+    assert len(h[5] & h[1_000_005]) >= 2   # shift survives
+    assert not (h[5] & h[17])              # classes stay disjoint

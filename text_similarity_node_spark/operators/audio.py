@@ -214,6 +214,54 @@ def synth_quality_pcm_udf(doc_id: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def synth_melody_pcm_udf(
+    sr_hz: int = 16000,
+    seg_len: int = 4096,
+    n_classes: int = 400,
+    tone_step: float = 3.0,
+    seg_step: float = 1021.0,
+    amp: float = 0.4,
+    shift: int = 2048,
+):
+    """Deterministic NON-STATIONARY pcm_s16le clip per id (the q51
+    fixture): a 4-tone cycling melody keyed by id % n_classes — segment s
+    plays 100 + tone_step*class + seg_step*(s % 4) Hz.  Ids >= 1_000_000
+    carry the SAME melody TIME-SHIFTED by ``shift`` samples (one landmark
+    hop): both variants are windows of one longer deterministic waveform,
+    i.e. a true time shift, not a resynthesis.
+
+    Stationary fixtures (q32's constant sines) cannot distinguish a
+    shift-invariant fingerprint from a shift-fragile one — every frame
+    looks alike.  Here frames differ along time, so matching hashes exist
+    ONLY because the constellation scheme's (f1, f2, dt) landmarks are
+    anchored relatively, not absolutely.
+
+    seg_step = 1021 (prime, not a multiple of tone_step=3) guarantees no
+    class's tone set intersects another's — in particular no class's
+    SHIFTED melody equals another class's base melody, which a round
+    seg_step like 900 = 3*300 would create (class c shifted == class
+    c+300 base: a planted false-positive)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        total = sr_hz + shift
+        i = np.arange(total, dtype=np.float64)
+        seg = (np.arange(total) // seg_len) % 4
+        for d in doc_id:
+            d = int(d)
+            freq = 100.0 + tone_step * (d % n_classes) + seg_step * seg
+            x = amp * np.sin(2.0 * np.pi * freq * i / sr_hz)
+            lo = shift if d >= 1_000_000 else 0
+            clip = x[lo : lo + sr_hz]
+            out.append(
+                np.clip(clip * 32767.0, -32768, 32767).astype("<i2").tobytes()
+            )
+        return pd.Series(out)
+
+    return udf
+
+
 def resample_stub(x: np.ndarray, sr_from: int, sr_to: int) -> np.ndarray:
     """DETERMINISTIC FAKE resampler (linear interpolation) — marked stub:
     a real pipeline would use a polyphase filter from an audio library not
