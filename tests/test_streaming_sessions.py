@@ -87,6 +87,63 @@ def test_stream_matches_batch_rule(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_state_survives_query_restart(spark):
+    """Resume-from-checkpoint for the CUSTOM state store: a session left
+    open by a terminated query is closed correctly by a brand-new query
+    started on the same checkpoint after more files arrive — the open
+    session's (start, last, n, value) round-trips through the state
+    checkpoint, not just the source offsets."""
+    h = 3_600_000_000
+    batch1 = [(1, 0, 0, 10), (1, 600_000_000, 1, 5)]   # open session
+    batch2 = [(1, 3 * h, 2, 7)]                         # gap -> closes it
+    src = tempfile.mkdtemp(prefix="tsn_sess_rs_src_")
+    out = tempfile.mkdtemp(prefix="tsn_sess_rs_out_")
+    cp = tempfile.mkdtemp(prefix="tsn_sess_rs_cp_")
+    cols = ["user_id", "ts_us", "event_id", "value_cents"]
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts_us long, event_id long, value_cents long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        q = (
+            sessionize_stream(stream, gap_us=GAP_US)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    try:
+        pdf = pd.DataFrame(batch1, columns=cols).astype("int64")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            os.path.join(src, "b0"), mode="overwrite"
+        )
+        run_once()  # first query: consumes batch1, terminates, session open
+        assert spark.read.parquet(out).count() == 0
+        pdf = pd.DataFrame(batch2, columns=cols).astype("int64")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            os.path.join(src, "b1"), mode="overwrite"
+        )
+        run_once()  # NEW query, same checkpoint: state restored, gap closes A
+        got = [
+            tuple(int(x) for x in r)
+            for r in spark.read.parquet(out)
+            .select("user_id", "session_start_us", "session_end_us",
+                    "n_events", "value_cents")
+            .collect()
+        ]
+        assert got == [(1, 0, 600_000_000, 2, 15)]
+    finally:
+        for d in (src, out, cp):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_idle_timeout_flushes_open_session(spark):
     """With idle_timeout_ms set, a key absent from later batches has its
     OPEN session flushed (emitted + state freed) when the timeout fires on
