@@ -1662,26 +1662,13 @@ SELECT count(*) AS n_truth, 0::BIGINT AS n_missed FROM ranked WHERE rank <= 5
 """
 
 
-def q37_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q04's exact semantics (multiset character-trigram Jaccard >= 0.55,
-    same lang, |n_chars diff| <= 40) through the SCALE-SHAPED plan: MinHash
-    LSH candidates -> blocking-predicate prune -> multiset-sound signature
-    prefilter -> array-merge exact verify.  This is the plan you would run
-    at 100x: q04's bare inverted-index join equi-joins on raw shingles and
-    explodes on low-entropy grams, while here every candidate comes from a
-    banded equi-join with the cap/salt disposition ledger.
-
-    Shares q04's oracle SQL — so the driver checks that the probabilistic
-    candidate path reproduces the exact join's rows bit-for-bit.  Banding
-    b=40/r=5 was chosen empirically: seeds and testdata are deterministic,
-    and at sf0.01 the candidate set covers all 42 truth pairs (measured
-    recall 1.0; min truth set-J 0.551 on this corpus).  The corpus is
-    template-heavy (median background set-J 0.44), so candidate-set
-    precision is inherently poor at the band stage — the multiset-sound
-    prefilter (operators/minhash.py:152) is what restores selectivity by
-    dropping set-high/multiset-low junk the exact verify would reject.
-    Reference semantics: src/algorithms/token_based.cpp:30-43 (NGRAM
-    multiset mode)."""
+def _ngram_scale_pairs(docs_in: DataFrame) -> DataFrame:
+    """The scale-shaped multiset trigram-Jaccard join shared by q37 and
+    q49's tier 2: MinHash LSH candidates (blocking keys folded into the
+    band hash) -> multiset-sound signature prefilter -> array-merge exact
+    verify.  Input: (doc_id, lang, n_chars, text); output: (id1, id2,
+    jaccard) for pairs with same lang, |n_chars diff| <= 40, multiset
+    trigram J >= 0.55.  See q37's docstring for the plan rationale."""
     from text_similarity_node_spark.config import PipelineConfig
     from text_similarity_node_spark.operators import lsh, minhash
     from text_similarity_node_spark.operators.verify import (
@@ -1692,7 +1679,7 @@ def q37_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_k=200, lsh_bands=40, lsh_rows=5,
         hot_band_threshold=500, salt_buckets=8, verify_threshold=0.55,
     )
-    docs = _load(spark, sf_dir, "documents").select(
+    docs = docs_in.select(
         "doc_id", "lang", "n_chars",
         C.char_ngrams(F.col("text"), 3).alias("tokens"),
     )
@@ -1704,19 +1691,6 @@ def q37_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "minhash", "n_distinct", "n_total")
         .persist()  # two consumers (bands + prefilter); ContextCleaner unpersists
     )
-    # compose the deterministic blocking keys INTO the band key:
-    # truth requires lang equality and |n_chars diff| <= 40, so folding
-    # them into band_hash cannot lose a true candidate and drops every
-    # cross-lang / distant-length collision before the pair join even
-    # forms — the standard blocking x LSH composition for partitioned
-    # corpora.  lang folds exactly; the length window folds via width-40
-    # buckets with the adjacent-bucket trick: a pair within 40 chars is
-    # within 1 bucket, and the BUILD side replicates each row to buckets
-    # {b, b+1}, so for any such pair at least one direction of the
-    # asymmetric probe/build join meets (same argument as the SimHash
-    # two-level expansion; counts/salting are taken on the expanded build
-    # side).  A 2^-64 xxhash64 collision can only ADD a candidate (the
-    # exact verify rejects it), never lose one.
     meta = docs.select("doc_id", "lang", "n_chars")
     meta_bk = F.broadcast(
         meta.select(
@@ -1739,9 +1713,6 @@ def q37_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, _metrics = lsh.candidate_pairs(
         probe, cfg, id_col="doc_id", right_bands=build
     )
-    # q04's remaining blocking predicates — int/string columns,
-    # broadcast-sized meta, cheapest prune available before the signature
-    # join (lang re-checked exactly here, covering the hash-fold)
     pairs = (
         pairs
         .join(
@@ -1767,9 +1738,45 @@ def q37_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2")
     )
     pairs = minhash.prefilter_candidates(pairs, sig, cfg, id_col="doc_id")
-    verified = verify_pairs_multiset_jaccard_arrays(
+    return verify_pairs_multiset_jaccard_arrays(
         pairs, docs.select("doc_id", "tokens"), "doc_id", "tokens",
         cfg.verify_threshold,
+    )
+
+
+def q37_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q04's exact semantics (multiset character-trigram Jaccard >= 0.55,
+    same lang, |n_chars diff| <= 40) through the SCALE-SHAPED plan: MinHash
+    LSH candidates -> blocking-predicate prune -> multiset-sound signature
+    prefilter -> array-merge exact verify.  This is the plan you would run
+    at 100x: q04's bare inverted-index join equi-joins on raw shingles and
+    explodes on low-entropy grams, while here every candidate comes from a
+    banded equi-join with the cap/salt disposition ledger.
+
+    Shares q04's oracle SQL — so the driver checks that the probabilistic
+    candidate path reproduces the exact join's rows bit-for-bit.  Banding
+    b=40/r=5 was chosen empirically: seeds and testdata are deterministic,
+    and at sf0.01 the candidate set covers all 42 truth pairs (measured
+    recall 1.0; min truth set-J 0.551 on this corpus).  The corpus is
+    template-heavy (median background set-J 0.44), so candidate-set
+    precision is inherently poor at the band stage — the multiset-sound
+    prefilter (operators/minhash.py:152) is what restores selectivity by
+    dropping set-high/multiset-low junk the exact verify would reject.
+    Reference semantics: src/algorithms/token_based.cpp:30-43 (NGRAM
+    multiset mode).
+
+    The candidate machinery lives in _ngram_scale_pairs (shared with
+    q49's tier 2).  Blocking-key folding note: truth requires lang
+    equality and |n_chars diff| <= 40, so both fold into the band hash —
+    lang exactly, the length window via width-40 buckets with the
+    adjacent-bucket build expansion ({b, b+1} on the build side, so any
+    in-window pair meets in at least one direction of the asymmetric
+    probe/build join).  A 2^-64 xxhash64 collision can only ADD a
+    candidate (the exact verify rejects it), never lose one."""
+    verified = _ngram_scale_pairs(
+        _load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars", "text"
+        )
     )
     return verified.select(
         F.col("id1").alias("doc_id1"),
@@ -2449,9 +2456,12 @@ def q49_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a training-data pipeline joins against to materialize the kept
     set.  The cascade ordering is the scale story: the cheap exact pass
     shrinks the expensive near-dup pass's input, and the near-dup tier
-    never sees two identical texts.  Tier-2 candidates here use the exact
-    inverted-index join (audit scale); at 10^12 rows the candidate stage is
-    q37's LSH -> prefilter -> verify — same semantics, same oracle family.
+    never sees two identical texts.  Tier-2 candidates run through the
+    SAME scale-shaped path as q37 (LSH bands with folded blocking keys ->
+    multiset-sound prefilter -> exact verify, via _ngram_scale_pairs) —
+    the registered query IS the 10^12-row plan, and the oracle proves the
+    probabilistic candidate stage loses no edge the exact join would
+    find on this corpus.
     All output channels are integers (tier, ids) — no float in the hash.
     Oracle: same cascade in SQL with a recursive-CTE transitive closure
     standing in for the distributed label propagation."""
@@ -2465,39 +2475,11 @@ def q49_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = ex.filter(F.col("doc_id") == F.col("canonical_id")).select(
         "doc_id", "text", "lang", F.length("text").alias("n_chars")
     )
-    flat = (
-        surv.select(
-            "doc_id",
-            "lang",
-            "n_chars",
-            F.explode(C.char_ngrams(F.col("text"), 3)).alias("g"),
-            F.greatest(F.length("text") - 2, F.lit(1)).alias("total"),
-        )
-        .groupBy("doc_id", "lang", "n_chars", "total", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    a, b = flat.alias("a"), flat.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 40),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
-        )
-        .agg(
-            F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias("isz"),
-            F.first(F.col("a.total")).alias("t1"),
-            F.first(F.col("b.total")).alias("t2"),
-        )
-    )
-    edges = inter.filter(
-        F.col("isz").cast("double") / (F.col("t1") + F.col("t2") - F.col("isz"))
-        >= 0.55
-    ).select("id1", "id2")
+    # tier-2 edges through the SAME scale-shaped candidate path as q37
+    # (LSH bands + sound prefilter + exact verify) — the bare inverted-
+    # index join this replaced was quadratic on this template-heavy
+    # corpus at sf0.1 (the q04-vs-q37 story, replayed on survivors)
+    edges = _ngram_scale_pairs(surv).select("id1", "id2")
     cc = connected_components(edges)  # (clip_id, cluster_id); singletons absent
     surv_m = (
         surv.select("doc_id")
@@ -2593,8 +2575,14 @@ def q50_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = base.filter(F.col("doc_id") % 6 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id")
     )
-    corpus = base.unionByName(copies).withColumn(
-        "bytes", synth_video_udf()(F.col("doc_id"))
+    # the tiny id scan collapses to one input split; spread it BEFORE the
+    # frame synth so no single task materializes the whole corpus's
+    # payload in one Arrow batch (73 KB/clip; at real scale the table
+    # arrives partitioned and this is a no-op by construction)
+    corpus = (
+        base.unionByName(copies)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("bytes", synth_video_udf()(F.col("doc_id")))
     )
     pairs = video_neardup(
         corpus, "doc_id", "bytes", every_k=2, hamming_radius=6, min_frames=2
@@ -2648,8 +2636,11 @@ def q51_audio_shift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id")
     )
     synth = synth_melody_pcm_udf()
+    # spread the collapsed id scan before synthesizing 32 KB/clip payloads
+    # (same rationale as q50; no-op on an already-partitioned table)
     corpus = (
         base.unionByName(copies)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn("bytes", synth(F.col("doc_id")))
         .withColumn("sr_hz", F.lit(16000))
     )
