@@ -37,8 +37,9 @@ _MAX_GRAM = 256  # fingerprint grams longer than this are not supported
 # multiply-adds instead.)
 _BPOW = np.empty(_MAX_GRAM, dtype=np.uint64)
 _BPOW[0] = 1
-for _i in range(1, _MAX_GRAM):
-    _BPOW[_i] = _BPOW[_i - 1] * np.uint64(_BASE)  # wraps mod 2^64
+with np.errstate(over="ignore"):  # wraparound is the point, not an error
+    for _i in range(1, _MAX_GRAM):
+        _BPOW[_i] = _BPOW[_i - 1] * np.uint64(_BASE)  # wraps mod 2^64
 
 
 def _rolling_fingerprints(s: str, k: int, w: int) -> list[int]:
