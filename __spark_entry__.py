@@ -2672,6 +2672,80 @@ FROM corpus a JOIN corpus b
 """
 
 
+def q52_audio_resample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATE robustness of the acoustic fingerprint — the third
+    axis of the audio-dedup audit family (q32 content, q51 time shift,
+    here codec/rate churn: re-encoded uploads routinely arrive at 8 kHz
+    against 16 kHz originals).  The corpus is genuinely MIXED-RATE:
+    bases are 16 kHz melodies (doc_id % 400 frequency classes,
+    seg_step=607 keeps every tone under the 8 kHz Nyquist — the default
+    1021 would alias), copies at doc_id + 1_000_000 for doc_id % 6 == 0
+    are the SAME melody passed through the real windowed-sinc decimator
+    to 8 kHz (operators/audio.py:resample_pcm — int16 round trip, not a
+    resynthesis).  The operator under audit is the canonicalization
+    edge a production mixed-rate pipeline needs before any fingerprint
+    equi-join: resample_pcm_udf(16000) brings every row to one rate
+    (16 kHz rows pass through bit-exact), then the q51-config landmark
+    join runs.  Matching pairs exist only because (a) the resampler is
+    alias-free and group-delay compensated, so frames stay sample-
+    aligned, and (b) landmark frequencies are Hz-normalized with
+    sub-bin parabolic interpolation, so a 38-46 dB round-trip SNR
+    leaves every quantized (f1, f2, dt) hash intact.  Congruence mod
+    400 is the closed-form oracle — the driver hash matches iff recall
+    AND precision are exactly 1.0 across the rate boundary."""
+    from text_similarity_node_spark.operators.audio import (
+        resample_pcm_udf,
+        synth_melody_pcm_udf,
+    )
+    from text_similarity_node_spark.operators.audio_fp import (
+        audio_fingerprint_pairs,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_melody_pcm_udf(seg_step=607.0, shift=0)
+    down = resample_pcm_udf(8000)
+    canon = resample_pcm_udf(16000)
+    # spread the collapsed id scan before synthesizing payloads (q50/q51
+    # rationale; a real table arrives partitioned and this is a no-op)
+    par = spark.sparkContext.defaultParallelism
+    base16 = (
+        base.repartition(par, "doc_id")
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    copies8 = (
+        copies.repartition(par, "doc_id")
+        .withColumn("bytes", synth(F.col("doc_id") - 1_000_000))
+        .withColumn("bytes", down(F.col("bytes"), F.lit(16000)))
+        .withColumn("sr_hz", F.lit(8000))
+    )
+    corpus = (
+        base16.unionByName(copies8)
+        .withColumn("bytes", canon(F.col("bytes"), F.col("sr_hz")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    pairs = audio_fingerprint_pairs(
+        corpus,
+        "doc_id",
+        "bytes",
+        min_matches=2,
+        frame_len=4096,
+        hop=2048,
+        peaks_per_frame=1,
+        fanout=2,
+        freq_quant_hz=1.0,
+    )
+    return pairs.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q52_SQL = _Q51_SQL  # same planted-congruence truth, different perturbation
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2735,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_dedup_cascade": q49_dedup_cascade,
         "q50_video_neardup": q50_video_neardup,
         "q51_audio_shift_pairs": q51_audio_shift_pairs,
+        "q52_audio_resample_pairs": q52_audio_resample_pairs,
     }
 
 
@@ -2790,6 +2865,7 @@ def oracle_sql() -> dict[str, str]:
         "q49_dedup_cascade": _Q49_SQL,
         "q50_video_neardup": _Q50_SQL,
         "q51_audio_shift_pairs": _Q51_SQL,
+        "q52_audio_resample_pairs": _Q52_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
