@@ -117,6 +117,16 @@ def q02_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side to its 3 neighboring buckets multiplies key cardinality ~100x,
     # so the quadratic-within-key work spreads across the cluster; each
     # qualifying pair still meets exactly once.
+    # The probe side must be spread BEFORE the (broadcast) join: a small
+    # corpus arrives as ONE parquet split, and a BroadcastHashJoin's
+    # parallelism equals its probe-side partition count — measured 37 s
+    # single-task vs ~2 s spread at sf0.1.  (The bucketed keys below
+    # spread a sort-merge join; they do nothing for broadcast.)  On a
+    # real multi-file table this repartition is a cheap row-count-
+    # preserving shuffle of the pruned columns, paid once before the
+    # quadratic-within-key DP work.
+    par = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(par, "doc_id")
     a = docs.withColumn("bk", F.floor(F.col("n_chars") / 6)).alias("a")
     b = docs.withColumn(
         "bk",
