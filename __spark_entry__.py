@@ -2756,6 +2756,283 @@ def q52_audio_resample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q52_SQL = _Q51_SQL  # same planted-congruence truth, different perturbation
 
 
+def q53_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based voice-activity detection — the trim/keep stage a speech
+    training pipeline runs before transcription or fingerprinting.  Clips
+    are synthesized with PLANTED SILENCE STRUCTURE
+    (operators/audio.py:synth_vad_pcm_udf): 10 frames of 160 samples; the
+    first id % 4 and last id % 3 frames are gated to zero.  The VAD marks a
+    frame active iff its summed |sample| clears frame_len * SILENCE_LEVEL,
+    then emits frame counts, first/last active frame (the trim points), a
+    micro-scaled speech ratio, and a keep flag (>= 60% voiced).  Every
+    channel is an integer, and the waveform is analytic trunc arithmetic,
+    so the DuckDB oracle recomputes the exact frame energies (q48's
+    construction).
+    Scale: payload synthesized and consumed in ONE map-only stage (never
+    shuffles); 6 ints per clip out; only exchange is the presentation
+    sort."""
+    from text_similarity_node_spark.operators.audio import (
+        synth_vad_pcm_udf as synth,
+        vad_udf,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    clips = docs.select("doc_id", synth(F.col("doc_id")).alias("bytes"))
+    v = clips.select("doc_id", vad_udf()(F.col("bytes")).alias("v"))
+    return (
+        v.select(
+            "doc_id",
+            F.col("v.n_frames").alias("n_frames"),
+            F.col("v.n_active").alias("n_active"),
+            F.col("v.first_active").alias("first_active"),
+            F.col("v.last_active").alias("last_active"),
+            F.expr("(1000000L * v.n_active) div v.n_frames").alias(
+                "speech_micro"
+            ),
+            F.expr(
+                "CAST((1000000L * v.n_active) div v.n_frames >= 600000"
+                " AS INT)"
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q53_SQL = """
+WITH samp AS (
+  SELECT d.doc_id, i // 160 AS frame,
+         CASE WHEN i < 160 * (d.doc_id % 4)
+               OR i >= 1600 - 160 * (d.doc_id % 3) THEN 0.0
+              ELSE trunc(16384.0
+                   * sin(2 * pi() * (100 + d.doc_id % 200) * i / 16000.0))
+         END AS s
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, 1599)) AS i)
+), fr AS (
+  SELECT doc_id, frame, sum(abs(s)) AS e FROM samp GROUP BY doc_id, frame
+), act AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_frames,
+         sum((e >= 52480)::INT)::BIGINT AS n_active,
+         coalesce(min(CASE WHEN e >= 52480 THEN frame END), -1)::BIGINT
+           AS first_active,
+         coalesce(max(CASE WHEN e >= 52480 THEN frame END), -1)::BIGINT
+           AS last_active
+  FROM fr GROUP BY doc_id
+)
+SELECT doc_id, n_frames, n_active, first_active, last_active,
+       ((1000000 * n_active) // n_frames)::BIGINT AS speech_micro,
+       ((1000000 * n_active) // n_frames >= 600000)::INT AS keep
+FROM act ORDER BY doc_id
+"""
+
+
+def q54_speech_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript/audio consistency check — the cross-column sanity filter
+    over the engine's native (clip, transcript) pairs: words-per-minute
+    from the transcript token count against the clip duration, with
+    out-of-range clips flagged (too slow = likely dead air or a wrong
+    pairing; too fast = likely a truncated clip or runaway transcript).
+    Durations are derived deterministically from doc_id (2s..30s); the
+    word count reuses the q06 ASCII tokenizer, so the oracle is exact.
+    All-integer channels: wpm is BIGINT floor division, flag is {-1,0,1}.
+    Scale: pure JVM column expressions over one scan — no UDF, no
+    shuffle besides the presentation sort; at 10^12 rows this is the
+    cheapest possible keep/drop stage."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    rated = docs.select(
+        "doc_id",
+        F.size(C.word_tokens(F.col("text"))).cast("long").alias("n_words"),
+        (F.lit(2000) + (F.col("doc_id") * 37) % 28000).alias("dur_ms"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "dur_ms",
+        F.expr("(60000L * n_words) div dur_ms").alias("wpm"),
+    )
+    return (
+        rated.select(
+            "doc_id",
+            "n_words",
+            "dur_ms",
+            "wpm",
+            F.when(F.col("wpm") < 100, -1)
+            .when(F.col("wpm") > 600, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("rate_flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q54_SQL = r"""
+WITH rated AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\w+'))::BIGINT AS n_words,
+         (2000 + (doc_id * 37) % 28000)::BIGINT AS dur_ms
+  FROM documents
+)
+SELECT doc_id, n_words, dur_ms,
+       ((60000 * n_words) // dur_ms)::BIGINT AS wpm,
+       (CASE WHEN (60000 * n_words) // dur_ms < 100 THEN -1
+             WHEN (60000 * n_words) // dur_ms > 600 THEN 1
+             ELSE 0 END)::INT AS rate_flag
+FROM rated ORDER BY doc_id
+"""
+
+
+def q55_stereo_downmix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo-to-mono canonicalization — channel handling before any mono
+    fingerprint/quality pass.  Clips are synthesized as interleaved
+    stereo (distinct L/R sine frequencies per id,
+    operators/audio.py:synth_stereo_pcm_udf); the downmix is
+    trunc((L+R)/2) per frame, and the evidence channels pin every mono
+    sample's value AND position: peak |m|, sum |m|, and the
+    position-weighted checksum sum((i+1) * m_i).  Analytic trunc
+    arithmetic end-to-end, so the DuckDB oracle recomputes both channels
+    and the exact mix.
+    Scale: payload synthesized and consumed in ONE map-only stage; 4 ints
+    per clip out; only exchange is the presentation sort."""
+    from text_similarity_node_spark.operators.audio import (
+        downmix_stats_udf,
+        synth_stereo_pcm_udf as synth,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    clips = docs.select("doc_id", synth(F.col("doc_id")).alias("bytes"))
+    return (
+        clips.select("doc_id", downmix_stats_udf(F.col("bytes")).alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.n_frames").alias("n_frames"),
+            F.col("m.peak").alias("peak"),
+            F.col("m.sum_abs").alias("sum_abs"),
+            F.col("m.checksum").alias("checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q55_SQL = """
+WITH samp AS (
+  SELECT d.doc_id, i,
+         trunc(12000.0
+               * sin(2 * pi() * (100 + d.doc_id % 300) * i / 16000.0)) AS l,
+         trunc(12000.0
+               * sin(2 * pi() * (150 + d.doc_id % 250) * i / 16000.0)) AS r
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, 399)) AS i)
+), mono AS (
+  SELECT doc_id, i, trunc((l + r) / 2.0) AS m FROM samp
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_frames,
+       max(abs(m))::BIGINT AS peak,
+       sum(abs(m))::BIGINT AS sum_abs,
+       sum((i + 1) * m)::BIGINT AS checksum
+FROM mono GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q56_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency line dedup (the C4/RefinedWeb boilerplate rule):
+    any LINE that occurs in more than 2 distinct documents is boilerplate
+    and is removed from every document that carries it.  The documents
+    table has no newlines, so each doc derives a 4-line page: a planted
+    nav header shared by id % 5, two 80-char body chunks, and a planted
+    copyright footer shared by id % 3 — headers/footers cross the
+    threshold by construction, body chunks only where the template corpus
+    genuinely repeats (the rule decides; the oracle recomputes the same
+    rule).  Per doc: line counts and the md5 of the kept page (lines in
+    original order, newline-joined) — positional proof of what survived.
+    Scale: this is the canonical two-shuffle shape — groupBy(line) for
+    corpus counts, join back, groupBy(doc) to reassemble; both shuffles
+    key on high-cardinality values, and the line-count side can be
+    broadcast when the distinct-line set is small after a frequency
+    filter (only lines ABOVE the threshold matter for the join — that
+    filtered set is tiny at any scale and is the 100-TB plan)."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.concat(
+                    F.lit("nav menu "), (F.col("doc_id") % 5).cast("string")
+                ),
+                F.substring("text", 1, 80),
+                F.substring("text", 81, 80),
+                F.concat(
+                    F.lit("copyright footer "),
+                    (F.col("doc_id") % 3).cast("string"),
+                ),
+            )
+        ).alias("pos", "line"),
+    ).filter(F.length("line") > 0)
+    # Only lines OVER the threshold are needed downstream: filter before
+    # the join-back so the broadcast side stays tiny at corpus scale.
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") > 2)
+        .select("line", F.lit(1).alias("is_boiler"))
+    )
+    j = lines.join(F.broadcast(boiler), "line", "left").withColumn(
+        "boiler", F.coalesce(F.col("is_boiler"), F.lit(0))
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("boiler").alias("n_boiler"),
+            (F.count(F.lit(1)) - F.sum("boiler")).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "CASE WHEN boiler = 0 THEN struct(pos, line) END)),"
+                        " x -> x.line)"
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q56_SQL = """
+WITH raw AS (
+  SELECT doc_id, unnest(list_value(
+    struct_pack(pos := 0,
+                line := 'nav menu ' || (doc_id % 5)::VARCHAR),
+    struct_pack(pos := 1, line := substring(text, 1, 80)),
+    struct_pack(pos := 2, line := substring(text, 81, 80)),
+    struct_pack(pos := 3,
+                line := 'copyright footer ' || (doc_id % 3)::VARCHAR)
+  )) AS l
+  FROM documents
+), lines AS (
+  SELECT doc_id, l.pos AS pos, l.line AS line
+  FROM raw WHERE length(l.line) > 0
+), counts AS (
+  SELECT line, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line
+), j AS (
+  SELECT li.doc_id, li.pos, li.line,
+         (coalesce(c.ndocs, 0) > 2)::INT AS boiler
+  FROM lines li LEFT JOIN counts c USING (line)
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum(boiler)::BIGINT AS n_boiler,
+       (count(*) - sum(boiler))::BIGINT AS n_kept,
+       md5(coalesce(
+         string_agg(CASE WHEN boiler = 0 THEN line END, chr(10)
+                    ORDER BY pos), '')) AS kept_md5
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2820,6 +3097,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_video_neardup": q50_video_neardup,
         "q51_audio_shift_pairs": q51_audio_shift_pairs,
         "q52_audio_resample_pairs": q52_audio_resample_pairs,
+        "q53_vad_segments": q53_vad_segments,
+        "q54_speech_rate": q54_speech_rate,
+        "q55_stereo_downmix": q55_stereo_downmix,
+        "q56_boilerplate_lines": q56_boilerplate_lines,
     }
 
 
@@ -2876,6 +3157,10 @@ def oracle_sql() -> dict[str, str]:
         "q50_video_neardup": _Q50_SQL,
         "q51_audio_shift_pairs": _Q51_SQL,
         "q52_audio_resample_pairs": _Q52_SQL,
+        "q53_vad_segments": _Q53_SQL,
+        "q54_speech_rate": _Q54_SQL,
+        "q55_stereo_downmix": _Q55_SQL,
+        "q56_boilerplate_lines": _Q56_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

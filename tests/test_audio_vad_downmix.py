@@ -1,0 +1,123 @@
+"""Energy VAD and stereo downmix operators: handmade-payload semantics,
+null/short-payload contracts, and the planted-structure fixtures behind
+q53 (lead/tail silent frames) and q55 (interleaved L/R channels)."""
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from text_similarity_node_spark.operators.audio import (
+    SILENCE_LEVEL,
+    downmix_stats_udf,
+    synth_stereo_pcm_udf,
+    synth_vad_pcm_udf,
+    vad_udf,
+)
+
+
+def test_vad_handmade_frames(spark):
+    # 4 frames of 4 samples, threshold = 4 * SILENCE_LEVEL = 1312:
+    # frame 0 silent, frame 1 loud, frame 2 silent, frame 3 loud
+    s = np.array(
+        [0, 0, 300, -300,          # sum 600  -> silent
+         5000, 0, 0, 0,            # sum 5000 -> active
+         1, -1, 1, -1,             # sum 4    -> silent
+         0, -2000, 0, 0],          # sum 2000 -> active
+        dtype="<i2",
+    )
+    df = spark.createDataFrame(pd.DataFrame({"bytes": [s.tobytes()]}))
+    r = (
+        df.select(vad_udf(frame_len=4)(F.col("bytes")).alias("v"))
+        .select("v.*")
+        .collect()[0]
+    )
+    assert (r.n_frames, r.n_active, r.first_active, r.last_active) == (
+        4, 2, 1, 3,
+    )
+
+
+def test_vad_all_silent_and_degenerate(spark):
+    silent = np.zeros(320, dtype="<i2").tobytes()
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3], "bytes": [silent, b"\x00\x01", None]})
+    )
+    rows = (
+        df.select("id", vad_udf()(F.col("bytes")).alias("v"))
+        .select("id", "v.*")
+        .orderBy("id")
+        .collect()
+    )
+    assert (rows[0].n_frames, rows[0].n_active) == (2, 0)
+    assert (rows[0].first_active, rows[0].last_active) == (-1, -1)
+    for r in rows[1:]:  # shorter than one frame / null -> empty contract
+        assert (r.n_frames, r.n_active, r.first_active, r.last_active) == (
+            0, 0, -1, -1,
+        )
+
+
+def test_vad_planted_structure_matches_ids(spark):
+    # synth plants lead = id % 4 and tail = id % 3 silent frames out of 10
+    ids = [0, 5, 7, 11]  # (lead, tail) = (0,0), (1,2), (3,1), (3,2)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids}))
+    rows = (
+        df.select(
+            "doc_id",
+            vad_udf()(synth_vad_pcm_udf(F.col("doc_id"))).alias("v"),
+        )
+        .select("doc_id", "v.*")
+        .orderBy("doc_id")
+        .collect()
+    )
+    for r in rows:
+        lead, tail = r.doc_id % 4, r.doc_id % 3
+        assert r.n_frames == 10
+        assert r.first_active == lead
+        assert r.last_active == 9 - tail
+        assert r.n_active == 10 - lead - tail
+    assert SILENCE_LEVEL * 160 == 52480  # the q53 oracle's literal
+
+
+def test_downmix_handmade_stereo(spark):
+    # 3 frames: L = [100, -101, 32000], R = [200, -100, 32000]
+    # mono = trunc((L+R)/2) = [150, -100 (toward zero), 32000]
+    inter = np.array([100, 200, -101, -100, 32000, 32000], dtype="<i2")
+    df = spark.createDataFrame(pd.DataFrame({"bytes": [inter.tobytes()]}))
+    r = (
+        df.select(downmix_stats_udf(F.col("bytes")).alias("m"))
+        .select("m.*")
+        .collect()[0]
+    )
+    mono = [150, -100, 32000]
+    assert r.n_frames == 3
+    assert r.peak == 32000
+    assert r.sum_abs == sum(abs(m) for m in mono)
+    assert r.checksum == sum((i + 1) * m for i, m in enumerate(mono))
+
+
+def test_downmix_identical_channels_is_identity(spark):
+    # when L == R the downmix must reproduce the channel exactly
+    chan = np.array([7, -7, 123, -32767, 0], dtype="<i2")
+    inter = np.repeat(chan, 2).astype("<i2")
+    df = spark.createDataFrame(pd.DataFrame({"bytes": [inter.tobytes()]}))
+    r = (
+        df.select(downmix_stats_udf(F.col("bytes")).alias("m"))
+        .select("m.*")
+        .collect()[0]
+    )
+    c = chan.astype(np.int64)
+    assert r.n_frames == len(c)
+    assert r.peak == int(np.abs(c).max())
+    assert r.sum_abs == int(np.abs(c).sum())
+    assert r.checksum == int((np.arange(1, len(c) + 1) * c).sum())
+
+
+def test_synth_stereo_channels_differ(spark):
+    # the fixture's L and R frequencies differ for every id mod lcm(300,250)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 42]}))
+    payloads = (
+        df.select(synth_stereo_pcm_udf(F.col("doc_id")).alias("b"))
+        .collect()
+    )
+    for row in payloads:
+        x = np.frombuffer(row.b, dtype="<i2")
+        assert len(x) == 800
+        assert not np.array_equal(x[0::2], x[1::2])

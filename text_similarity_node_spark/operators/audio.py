@@ -331,3 +331,146 @@ def resample_pcm_udf(sr_to: int, taps: int = 127):
         return pd.Series(out)
 
     return udf
+
+
+# ---------------------------------------------------------------------------
+# voice-activity detection (frame-energy VAD) — the trim/keep stage a speech
+# training-data pipeline runs before transcription or fingerprinting
+# ---------------------------------------------------------------------------
+
+VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+        T.StructField("first_active", T.LongType()),
+        T.StructField("last_active", T.LongType()),
+    ]
+)
+
+
+def vad_udf(frame_len: int = 160, silence_level: int = SILENCE_LEVEL):
+    """Energy VAD over pcm_s16le: non-overlapping frames of ``frame_len``
+    samples; a frame is ACTIVE iff its summed |sample| is at least
+    ``frame_len * silence_level`` (i.e. mean magnitude clears the q48
+    silence floor).  Emits frame counts plus the first/last active frame
+    index (-1 when the clip is all-silent) — enough for a lead/tail trim
+    and a speech-ratio keep policy downstream, all in int64 channels so a
+    SQL oracle can reproduce the numbers bit-for-bit.
+    Scale: one Arrow pass, payload consumed where produced (map-only);
+    the per-clip output is 4 ints regardless of clip length."""
+    thresh = frame_len * silence_level
+
+    @F.pandas_udf(VAD_SCHEMA)
+    def udf(payload: pd.Series) -> pd.DataFrame:
+        rows = np.zeros((len(payload), 4), dtype=np.int64)
+        for idx, b in enumerate(payload):
+            if b is None or len(b) < 2 * frame_len:
+                rows[idx] = (0, 0, -1, -1)
+                continue
+            s = np.abs(np.frombuffer(b, dtype="<i2").astype(np.int64))
+            nf = len(s) // frame_len
+            energy = s[: nf * frame_len].reshape(nf, frame_len).sum(axis=1)
+            act = np.nonzero(energy >= thresh)[0]
+            rows[idx] = (
+                nf,
+                len(act),
+                int(act[0]) if len(act) else -1,
+                int(act[-1]) if len(act) else -1,
+            )
+        return pd.DataFrame(
+            rows, columns=["n_frames", "n_active", "first_active", "last_active"]
+        )
+
+    return udf
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_vad_pcm_udf(doc_id: pd.Series) -> pd.Series:
+    """Deterministic pcm_s16le payload with PLANTED SILENCE STRUCTURE (the
+    q53 fixture): 1600-sample 16 kHz sine at 100 + id % 200 Hz, amplitude
+    16384, with the first ``id % 4`` and the last ``id % 3`` 160-sample
+    frames gated to zero (leading/trailing silence).  Trunc/analytic
+    integer arithmetic throughout, so a SQL oracle reproduces the exact
+    samples; phase term mirrors the oracle's left-to-right association
+    (2*pi*f) * i / 16000 (the q48 convention)."""
+    out = []
+    i = np.arange(1600, dtype=np.float64)
+    for d in doc_id:
+        d = int(d)
+        freq = 100.0 + (d % 200)
+        x = np.trunc(16384.0 * np.sin((2.0 * np.pi * freq) * i / 16000.0))
+        lead, tail = d % 4, d % 3
+        if lead:
+            x[: 160 * lead] = 0.0
+        if tail:
+            x[1600 - 160 * tail :] = 0.0
+        out.append(x.astype("<i2").tobytes())
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# stereo handling — interleaved-channel decode and downmix-to-mono, the
+# canonicalization step before any mono fingerprint/quality pass
+# ---------------------------------------------------------------------------
+
+DOWNMIX_SCHEMA = T.StructType(
+    [
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(DOWNMIX_SCHEMA)
+def downmix_stats_udf(payload: pd.Series) -> pd.DataFrame:
+    """Decode interleaved stereo pcm_s16le (LRLR...), downmix to mono as
+    trunc((L+R)/2) (toward-zero, the float-exact halves convention a SQL
+    oracle can mirror), and emit integer evidence the mix is right
+    sample-for-sample: frame count, peak |m|, sum |m|, and a
+    position-weighted checksum sum((i+1)*m_i).  The checksum pins every
+    sample's value AND position without shipping the waveform anywhere.
+    Scale: map-only Arrow pass; 4 ints per clip out."""
+    rows = np.zeros((len(payload), 4), dtype=np.int64)
+    for idx, b in enumerate(payload):
+        if b is None or len(b) < 4:
+            continue
+        x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+        n = len(x) // 2
+        left, right = x[0 : 2 * n : 2], x[1 : 2 * n : 2]
+        m = np.trunc((left + right) / 2.0).astype(np.int64)
+        w = np.arange(1, n + 1, dtype=np.int64)
+        rows[idx] = (
+            n,
+            int(np.abs(m).max()),
+            int(np.abs(m).sum()),
+            int((w * m).sum()),
+        )
+    return pd.DataFrame(
+        rows, columns=["n_frames", "peak", "sum_abs", "checksum"]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_stereo_pcm_udf(doc_id: pd.Series) -> pd.Series:
+    """Deterministic interleaved-stereo pcm_s16le payload (the q55
+    fixture): 400 frames, left = trunc(12000*sin(2*pi*(100 + id % 300) *
+    i / 16000)), right = trunc(12000*sin(2*pi*(150 + id % 250) * i /
+    16000)), interleaved LRLR.  Analytic trunc arithmetic so a SQL
+    oracle recomputes both channels exactly."""
+    out = []
+    i = np.arange(400, dtype=np.float64)
+    for d in doc_id:
+        d = int(d)
+        left = np.trunc(
+            12000.0 * np.sin((2.0 * np.pi * (100.0 + d % 300)) * i / 16000.0)
+        )
+        right = np.trunc(
+            12000.0 * np.sin((2.0 * np.pi * (150.0 + d % 250)) * i / 16000.0)
+        )
+        inter = np.empty(800, dtype=np.float64)
+        inter[0::2] = left
+        inter[1::2] = right
+        out.append(inter.astype("<i2").tobytes())
+    return pd.Series(out)
