@@ -3033,6 +3033,115 @@ FROM j GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q57_loudness_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-loudness normalization — gain staging so one energy threshold
+    works across a mixed-level corpus (the canonicalization VAD and
+    silence gates assume).  Runs over the q48 planted-defect fixture,
+    whose amplitude regimes (over-driven 39321-amp clips clamping at full
+    scale vs clean 16384-amp clips) exercise both gain directions:
+    attenuation toward the 30000 target and a boost capped at 4x.
+    Everything is integer arithmetic — gain_micro = min(3e10 // peak_in,
+    4e6), per-sample trunc-toward-zero scaling — and the output checksum
+    sum((i+1) * m_i) pins every normalized sample's value AND position,
+    so the DuckDB oracle recomputes the exact normalized waveform
+    (negative-sample `div`/`//` trunc semantics verified identical).
+    Scale: payload synthesized and consumed in ONE map-only Arrow stage;
+    5 ints per clip out; only exchange is the presentation sort."""
+    from text_similarity_node_spark.operators.audio import (
+        normalize_gain_udf,
+        synth_quality_pcm_udf as synth,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    clips = docs.select("doc_id", synth(F.col("doc_id")).alias("bytes"))
+    return (
+        clips.select(
+            "doc_id", normalize_gain_udf()(F.col("bytes")).alias("g")
+        )
+        .select(
+            "doc_id",
+            F.col("g.n_samples").alias("n_samples"),
+            F.col("g.peak_in").alias("peak_in"),
+            F.col("g.gain_micro").alias("gain_micro"),
+            F.col("g.peak_out").alias("peak_out"),
+            F.col("g.checksum_out").alias("checksum_out"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q57_SQL = """
+WITH samp AS (
+  SELECT d.doc_id, i,
+         (CASE WHEN d.doc_id % 11 = 4 AND i < 400 THEN 0.0
+               ELSE least(greatest(trunc(
+                      (CASE WHEN d.doc_id % 7 = 3 THEN 39321.0
+                            ELSE 16384.0 END)
+                      * sin(2 * pi() * (100 + d.doc_id % 400) * i
+                            / 16000.0)),
+                    -32767.0), 32767.0)
+          END)::BIGINT AS s
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, 799)) AS i)
+), g AS (
+  SELECT doc_id, count(*)::BIGINT AS n_samples,
+         max(abs(s))::BIGINT AS peak_in
+  FROM samp GROUP BY doc_id
+), gain AS (
+  SELECT doc_id, n_samples, peak_in,
+         least(30000000000 // peak_in, 4000000)::BIGINT AS gain_micro
+  FROM g
+), m AS (
+  SELECT s.doc_id, s.i, (s.s * ga.gain_micro) // 1000000 AS m
+  FROM samp s JOIN gain ga USING (doc_id)
+)
+SELECT ga.doc_id, ga.n_samples, ga.peak_in, ga.gain_micro,
+       max(abs(m.m))::BIGINT AS peak_out,
+       sum((m.i + 1) * m.m)::BIGINT AS checksum_out
+FROM gain ga JOIN m USING (doc_id)
+GROUP BY ga.doc_id, ga.n_samples, ga.peak_in, ga.gain_micro
+ORDER BY ga.doc_id
+"""
+
+
+def q58_vocabulary_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head — the Zipf-head token-frequency profile a
+    training pipeline reads before choosing stopword lists and tokenizer
+    vocab: explode ASCII word tokens, count, top 20 with a TOTAL order
+    (count desc, word asc) so the result is deterministic under ties, and
+    an explicit rank column pinning the order into the value hash.
+    Scale: the groupBy is a map-side-combined word count (partial
+    aggregation collapses each partition to its distinct words before the
+    exchange — the wordcount plan); the top-k is a TakeOrdered over the
+    aggregated dictionary, never a global sort of the token stream."""
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(C.word_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return counts.select(
+        "word", "n", F.row_number().over(w).cast("int").alias("rank")
+    ).orderBy("rank")
+
+
+_Q58_SQL = r"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(text, '\w+')) AS word FROM documents
+), c AS (
+  SELECT word, count(*)::BIGINT AS n FROM w GROUP BY word
+)
+SELECT word, n,
+       row_number() OVER (ORDER BY n DESC, word)::INT AS rank
+FROM c ORDER BY n DESC, word LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3101,6 +3210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_speech_rate": q54_speech_rate,
         "q55_stereo_downmix": q55_stereo_downmix,
         "q56_boilerplate_lines": q56_boilerplate_lines,
+        "q57_loudness_normalize": q57_loudness_normalize,
+        "q58_vocabulary_head": q58_vocabulary_head,
     }
 
 
@@ -3161,6 +3272,8 @@ def oracle_sql() -> dict[str, str]:
         "q54_speech_rate": _Q54_SQL,
         "q55_stereo_downmix": _Q55_SQL,
         "q56_boilerplate_lines": _Q56_SQL,
+        "q57_loudness_normalize": _Q57_SQL,
+        "q58_vocabulary_head": _Q58_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -121,3 +121,34 @@ def test_synth_stereo_channels_differ(spark):
         x = np.frombuffer(row.b, dtype="<i2")
         assert len(x) == 800
         assert not np.array_equal(x[0::2], x[1::2])
+
+
+def test_normalize_gain_semantics(spark):
+    from text_similarity_node_spark.operators.audio import normalize_gain_udf
+
+    # clip A: peak 15000 -> gain 2.0x exactly; negative samples must
+    # trunc toward zero ((-7500*2e6)//1e6 = -15000, not floor drift)
+    a = np.array([15000, -7500, 1], dtype="<i2")
+    # clip B: peak 5000 -> uncapped gain would be 6x; cap at 4x applies
+    b = np.array([5000, -5000], dtype="<i2")
+    # clip C: all zeros -> zero gain, zero outputs (no div-by-zero)
+    c = np.zeros(4, dtype="<i2")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1, 2, 3], "bytes": [a.tobytes(), b.tobytes(), c.tobytes()]}
+        )
+    )
+    rows = (
+        df.select("id", normalize_gain_udf()(F.col("bytes")).alias("g"))
+        .select("id", "g.*")
+        .orderBy("id")
+        .collect()
+    )
+    ra, rb, rc = rows
+    assert (ra.peak_in, ra.gain_micro, ra.peak_out) == (15000, 2_000_000, 30000)
+    assert ra.checksum_out == 1 * 30000 + 2 * (-15000) + 3 * 2
+    assert (rb.peak_in, rb.gain_micro, rb.peak_out) == (5000, 4_000_000, 20000)
+    assert rb.checksum_out == 1 * 20000 + 2 * (-20000)
+    assert (rc.peak_in, rc.gain_micro, rc.peak_out, rc.checksum_out) == (
+        0, 0, 0, 0,
+    )

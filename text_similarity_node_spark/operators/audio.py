@@ -474,3 +474,66 @@ def synth_stereo_pcm_udf(doc_id: pd.Series) -> pd.Series:
         inter[1::2] = right
         out.append(inter.astype("<i2").tobytes())
     return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# loudness normalization — gain staging to a target peak, the level
+# canonicalization before energy-threshold ops (VAD, silence gates) so one
+# threshold works across a mixed-level corpus
+# ---------------------------------------------------------------------------
+
+NORMALIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak_in", T.LongType()),
+        T.StructField("gain_micro", T.LongType()),
+        T.StructField("peak_out", T.LongType()),
+        T.StructField("checksum_out", T.LongType()),
+    ]
+)
+
+
+def normalize_gain_udf(target_peak: int = 30000, max_gain_micro: int = 4_000_000):
+    """Peak normalization of pcm_s16le in PURE INTEGER arithmetic: per-clip
+    gain_micro = min(target_peak * 1e6 // peak, max_gain_micro) (the boost
+    cap keeps near-silent clips from amplifying noise to full scale), then
+    every sample is scaled as trunc-toward-zero (s * gain_micro) / 1e6 —
+    the same floor-on-magnitude both Spark's `div` and DuckDB's `//`
+    compute, so a SQL oracle reproduces the normalized waveform exactly.
+    Evidence channels: input peak, applied gain, output peak, and the
+    position-weighted checksum sum((i+1) * m_i) pinning every output
+    sample's value and position.
+    Scale: map-only Arrow pass, 5 ints per clip out."""
+
+    @F.pandas_udf(NORMALIZE_SCHEMA)
+    def udf(payload: pd.Series) -> pd.DataFrame:
+        rows = np.zeros((len(payload), 5), dtype=np.int64)
+        for idx, b in enumerate(payload):
+            if b is None or len(b) < 2:
+                continue
+            s = np.frombuffer(b, dtype="<i2").astype(np.int64)
+            peak = int(np.abs(s).max())
+            if peak == 0:
+                rows[idx] = (len(s), 0, 0, 0, 0)
+                continue
+            gain = min(target_peak * 1_000_000 // peak, max_gain_micro)
+            p = s * gain
+            # trunc-toward-zero division (numpy // floors, so divide the
+            # magnitude and reapply the sign — matches `div` / `//`)
+            m = (np.abs(p) // 1_000_000) * np.sign(p)
+            w = np.arange(1, len(s) + 1, dtype=np.int64)
+            rows[idx] = (
+                len(s),
+                peak,
+                gain,
+                int(np.abs(m).max()),
+                int((w * m).sum()),
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_samples", "peak_in", "gain_micro", "peak_out", "checksum_out",
+            ],
+        )
+
+    return udf
