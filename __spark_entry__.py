@@ -3142,6 +3142,26 @@ FROM c ORDER BY n DESC, word LIMIT 20
 """
 
 
+def q59_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k through an int8-quantized scan with a PROVABLY SOUND
+    candidate bound and exact re-rank (operators/ann.py:
+    cosine_topk_quantized) — the memory-compression ANN path: 1 byte/dim
+    on the scan (4-8x less memory traffic than float), candidate
+    selection guaranteed to contain the true top-k (triangle-inequality
+    error radius around the quantized score, per-query threshold from the
+    k-th largest lower bound), full-precision vectors touched only for
+    candidates.  Output equals brute force row-for-row, so it shares
+    q10's SQL oracle — the same driver-checked anchor pattern as q33
+    (IVF at full probe)."""
+    from text_similarity_node_spark.operators.ann import cosine_topk_quantized
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_quantized(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5, dim=64
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3212,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_boilerplate_lines": q56_boilerplate_lines,
         "q57_loudness_normalize": q57_loudness_normalize,
         "q58_vocabulary_head": q58_vocabulary_head,
+        "q59_ann_quantized": q59_ann_quantized,
     }
 
 
@@ -3274,6 +3295,7 @@ def oracle_sql() -> dict[str, str]:
         "q56_boilerplate_lines": _Q56_SQL,
         "q57_loudness_normalize": _Q57_SQL,
         "q58_vocabulary_head": _Q58_SQL,
+        "q59_ann_quantized": _Q10_SQL,  # sound-bound quantized == brute force
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -114,3 +114,72 @@ def test_ivf_recall_vs_bruteforce(spark, emb):
     assert recalls[16] == 1.0, recalls
     assert recalls[4] >= recalls[2] - 0.05, recalls  # monotone-ish in nprobe
     assert recalls[4] >= 0.6, recalls  # probing 1/4 of lists finds most of top-5
+
+
+def test_quantized_bound_is_sound():
+    """The int8 error radius must dominate the true quantization error on
+    arbitrary vectors — adversarial spreads included (near-zero tails,
+    one dominant coordinate), where relative quantization error peaks."""
+    rng = np.random.default_rng(7)
+    dim = 64
+    for trial in range(200):
+        a = rng.normal(size=dim) * rng.choice([1e-3, 1.0, 50.0])
+        b = rng.normal(size=dim)
+        if trial % 3 == 0:
+            b[0] *= 1000.0  # dominant-coordinate adversary
+        sa, sb = np.abs(a).max() / 127.0, np.abs(b).max() / 127.0
+        qa, qb = np.round(a / sa), np.round(b / sb)
+        approx = sa * sb * float(qa @ qb)
+        eps = sa * sb * (np.abs(qa).sum() / 2 + np.abs(qb).sum() / 2 + dim / 4)
+        assert abs(float(a @ b) - approx) <= eps + 1e-12
+
+
+def test_quantized_topk_equals_bruteforce_and_prunes(spark, emb):
+    """Equality is the CONTRACT (sound bound + exact re-rank), not a
+    measured recall; also record that the bound actually prunes — the
+    candidate set must be well under the full scan."""
+    from text_similarity_node_spark.operators.ann import (
+        cosine_topk_quantized,
+        dot_eps_cols,
+        quantize_int8_udf,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rank)
+        for r in cosine_topk_quantized(
+            emb, queries, id_col="vec_id", vec_col="embedding", k=5, dim=64
+        ).collect()
+    )
+    assert got == exact
+
+    # pruning evidence: candidates per query << corpus size
+    qz = emb.select("vec_id", quantize_int8_udf(F.col("embedding")).alias("z"))
+    qq = queries.select(
+        F.col("vec_id").alias("query_id"),
+        quantize_int8_udf(F.col("embedding")).alias("zq"),
+    )
+    pair = qz.join(F.broadcast(qq), F.col("vec_id") != F.col("query_id"))
+    approx, eps = dot_eps_cols(64)(F.col("zq"), F.col("z"))
+    scored = pair.select(
+        "query_id", "vec_id", approx.alias("a"), eps.alias("e")
+    ).cache()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy((F.col("a") - F.col("e")).desc())
+    kth = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 5)
+        .select("query_id", (F.col("a") - F.col("e")).alias("kth_lo"))
+    )
+    n_cand = (
+        scored.join(kth, "query_id")
+        .filter(F.col("a") + F.col("e") >= F.col("kth_lo") - 1e-6)
+        .count()
+    )
+    n_total = scored.count()
+    assert n_cand < 0.5 * n_total, (n_cand, n_total)
