@@ -3162,6 +3162,167 @@ def q59_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def q60_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup,
+    Abbas et al. arXiv:2303.09540): sampled spherical-k-means clusters the
+    embeddings, candidate pairs are generated only within clusters
+    (probe side expanded to the 4 nearest lists, BOTH directions covered),
+    exact cosine >= 0.98 verifies, connected components assigns each dup
+    to its min-id representative.  Corpus: q29's planted near-dup family
+    (scaled + additive-noise copies).  The oracle is exact because (a) the
+    exact-cosine verify makes precision 1.0, (b) planted components are
+    CLIQUES (copies of one source, pairwise cos >= 0.9998 vs max natural
+    pair 0.513), so rep(x) = min(x, min neighbor) without recursion, and
+    (c) near-collinear pairs share their home centroid under the
+    deterministic seeded training, within the 4-probe reach (verified at
+    sf0.001/sf0.01).  q29 checks the pair set; this checks the CLUSTER
+    ASSIGNMENT output — the reference's cluster-assignment semantics
+    (README.md 'duplicate detection', compared in
+    /root/reference/tests/verify_algorithms.py) at the dedup tier."""
+    from text_similarity_node_spark.operators.dedup import semantic_dedup
+
+    emb = _neardup_embeddings(spark, sf_dir)
+    labels = semantic_dedup(
+        emb, "vec_id", "v", dim=64, threshold=0.98, n_lists=8, nprobe=4
+    )
+    return labels.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("rep_id").cast("bigint").alias("rep_id"),
+    )
+
+
+_Q60_SQL = f"""
+WITH corpus AS ({_NEARDUP_EMB_SQL}),
+scored AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= 0.98
+),
+sym AS (
+  SELECT id1 AS vec_id, id2 AS nbr FROM scored
+  UNION ALL
+  SELECT id2, id1 FROM scored
+)
+SELECT vec_id::BIGINT AS vec_id,
+       least(vec_id, min(nbr))::BIGINT AS rep_id
+FROM sym GROUP BY vec_id
+"""
+
+
+def q61_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted cosine similarity join — the weighting real dedup
+    pipelines put on word-overlap measures so boilerplate-heavy docs don't
+    match on stopwords alone (the reference's cosine kernel,
+    /root/reference/src/algorithms/vector_based.cpp, uses raw counts; this
+    is its corpus-weighted extension).  Determinism contract: idf is
+    quantized to a MILLI-INT channel (round(1000 * (ln((N+1)/(df+1)) + 1)),
+    smooth sklearn-style idf), so weights, dots, and norms are exact BIGINT
+    arithmetic — order-free under shuffle and bit-identical in DuckDB; the
+    only double ops are one multiply/sqrt/divide at the end (correctly
+    rounded, engine-identical), then round to micro.
+
+    Scale shape: the vocabulary is DF-PRUNED (df > 100 dropped) — the
+    standard stopword-cut that bounds the inverted index's per-word fanout
+    (a word hitting m docs yields m^2 join rows; df caps m).  The cut is
+    part of the declared semantics and mirrored exactly in the oracle.
+    At 100x, pair generation routes through the q37 LSH machinery with
+    tf-idf verify; the inverted-index join here is the audit-scale shape
+    with the same weighting."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tf = (
+        docs.select(
+            "doc_id", "lang",
+            F.explode(C.word_tokens(F.col("text"))).alias("word"),
+        )
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= 100)  # df-prune: the declared stopword cut
+        .select(
+            "word",
+            F.round(
+                (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1) * 1000
+            ).cast("bigint").alias("idf_milli"),
+        )
+    )
+    w = tf.join(F.broadcast(idf), "word").select(
+        "doc_id", "lang", "word",
+        (F.col("tf") * F.col("idf_milli")).alias("w"),
+    )
+    ssq = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ssq"))
+    w = w.join(ssq, "doc_id")
+    a, b = w.alias("a"), w.alias("b")
+    stats = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+            F.first(F.col("a.ssq")).alias("ssq1"),
+            F.first(F.col("b.ssq")).alias("ssq2"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("ssq1").cast("double") * F.col("ssq2").cast("double")
+    )
+    return (
+        stats.select(
+            "doc_id1", "doc_id2",
+            F.round(cos * 1e6).cast("bigint").alias("tfidf_cos_micro"),
+        )
+        .filter(F.col("tfidf_cos_micro") >= 800000)
+    )
+
+
+_Q61_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, lang, word, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_extract_all(text, '\w+')) AS word
+        FROM documents)
+  GROUP BY doc_id, lang, word
+),
+idf AS (
+  SELECT word,
+         CAST(round((ln(((SELECT count(*) FROM documents) + 1)::DOUBLE
+                        / (count(*) + 1)) + 1) * 1000) AS BIGINT) AS idf_milli
+  FROM tf GROUP BY word HAVING count(*) <= 100
+),
+w AS (
+  SELECT tf.doc_id, tf.lang, tf.word, tf.tf * idf.idf_milli AS w
+  FROM tf JOIN idf USING (word)
+),
+ssq AS (SELECT doc_id, sum(w * w)::BIGINT AS ssq FROM w GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+         sum(a.w * b.w)::BIGINT AS dot
+  FROM w a JOIN w b
+    ON a.word = b.word AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id1, doc_id2,
+       CAST(round(dot::DOUBLE / sqrt(s1.ssq::DOUBLE * s2.ssq::DOUBLE) * 1000000)
+            AS BIGINT) AS tfidf_cos_micro
+FROM pairs JOIN ssq s1 ON s1.doc_id = doc_id1
+           JOIN ssq s2 ON s2.doc_id = doc_id2
+WHERE round(dot::DOUBLE / sqrt(s1.ssq::DOUBLE * s2.ssq::DOUBLE) * 1000000)
+      >= 800000
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3233,6 +3394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_loudness_normalize": q57_loudness_normalize,
         "q58_vocabulary_head": q58_vocabulary_head,
         "q59_ann_quantized": q59_ann_quantized,
+        "q60_semantic_dedup": q60_semantic_dedup,
+        "q61_tfidf_cosine_pairs": q61_tfidf_cosine_pairs,
     }
 
 
@@ -3296,6 +3459,8 @@ def oracle_sql() -> dict[str, str]:
         "q57_loudness_normalize": _Q57_SQL,
         "q58_vocabulary_head": _Q58_SQL,
         "q59_ann_quantized": _Q10_SQL,  # sound-bound quantized == brute force
+        "q60_semantic_dedup": _Q60_SQL,
+        "q61_tfidf_cosine_pairs": _Q61_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -6,6 +6,7 @@ corpus pipeline actually calls:
 * exact_dedup           — hash-groupBy on content (one shuffle on md5)
 * neardup_dedup         — MinHash/LSH + exact verify + CC -> keep/drop
 * embedding_neardup     — RHP-bucketed cosine near-dup over embeddings
+* semantic_dedup        — SemDeDup: k-means-cluster-scoped cosine dedup
 """
 
 from __future__ import annotations
@@ -193,3 +194,108 @@ def embedding_neardup(
         C.cosine_sim_vec(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
     ).dropDuplicates(["id1", "id2"])
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.98,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    hot_list_threshold: int = 50_000,
+    salt_buckets: int = 8,
+    centroids=None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster embeddings with the IVF coarse
+    quantizer (sampled spherical k-means, operators/ann.py), generate
+    candidate pairs only WITHIN clusters, exact-cosine verify at
+    ``threshold``, connected components, and emit ``(id, rep_id)`` for
+    every member of a duplicate component (rep = min member id; singletons
+    are not emitted, matching connected_components' contract).
+
+    Boundary recall: cluster assignment is many-to-one, so a near-dup pair
+    straddling a centroid boundary would be invisible to a pure
+    top-1-per-side scheme.  Here the probe side expands to its ``nprobe``
+    nearest lists and the join covers BOTH directions (x's home list in
+    y's probes OR y's home in x's probes), so a pair is missed only if
+    neither endpoint ranks the other's home centroid in its top
+    ``nprobe`` — vanishingly unlikely at dedup-grade thresholds where the
+    two vectors are nearly collinear.  q60's driver oracle checks the
+    assignment output exactly on a planted corpus.
+
+    Scale shape (the reason this beats all-pairs at 100 TB): candidates
+    come from a per-list equi-join — expected list occupancy N/n_lists,
+    so candidate volume is ~N^2 * nprobe / n_lists instead of N^2; n_lists
+    grows with corpus size (FAISS convention ~sqrt(N)) keeping lists
+    bounded.  Skew: a degenerate list (embedding mass collapsing onto one
+    centroid — boilerplate pages, silence clips) takes the same salted
+    triangle join as the LSH band stage; occupancy is counted on the home
+    assignment (the quadratic driver), hot lists broadcast.  The vector
+    payload rides the join only to feed the exact-cosine verify; at
+    production dim sizes, project (id, list_id) through the join and
+    re-attach vectors to the (much smaller) candidate set instead."""
+    from ..operators.ann import ivf_assign_udf, train_ivf_centroids
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, id_col, vec_col, n_lists, seed=seed
+        )
+    assign1 = ivf_assign_udf(centroids, nprobe=1)
+    assignp = ivf_assign_udf(centroids, nprobe=nprobe)
+    v = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("list_id", F.element_at(assign1(F.col("v")), 1))
+    v = v.persist()  # counts + exact side + probe side (GC-cleaned)
+    probes = v.select(
+        "rid", "v", F.explode(assignp(F.col("v"))).alias("plist")
+    )
+    hot = (
+        v.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_list_threshold)
+        .select("list_id", F.lit(salt_buckets).alias("_g"))
+    )
+    left = (
+        v.join(F.broadcast(hot), "list_id", "left")
+        .withColumn("_gk", F.coalesce("_g", F.lit(1)))
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("rid")), F.col("_gk")).cast("int")
+        )
+        .select("rid", "v", "list_id", "salt")
+    )
+    right = (
+        probes.join(
+            F.broadcast(hot.withColumnRenamed("list_id", "plist")),
+            "plist", "left",
+        )
+        .withColumn("_gk", F.coalesce("_g", F.lit(1)))
+        .withColumn("salt_j", F.explode(F.sequence(F.lit(0), F.col("_gk") - 1)))
+        .select("rid", "v", "plist", "salt_j")
+    )
+    a, b = left.alias("a"), right.alias("b")
+    # both directions (home-in-probes is not symmetric), normalized + deduped
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.plist"))
+            & (F.col("a.salt") == F.col("b.salt_j"))
+            & (F.col("a.rid") != F.col("b.rid")),
+        )
+        .select(
+            F.least(F.col("a.rid"), F.col("b.rid")).alias("id1"),
+            F.greatest(F.col("a.rid"), F.col("b.rid")).alias("id2"),
+            C.cosine_sim_vec(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .dropDuplicates(["id1", "id2"])
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return connected_components(
+        pairs.select("id1", "id2"), max_iterations=max_iterations
+    ).select(
+        F.col("clip_id").alias(id_col), F.col("cluster_id").alias("rep_id")
+    )
