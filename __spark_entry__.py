@@ -3238,8 +3238,12 @@ def q61_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # consumed by dfreq, N, and the weight join: one
+        # tokenize pass instead of four corpus scans (GC-cleaned)
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # N counts ALL docs (zero-token docs included), matching the oracle's
+    # count(*); the scan is column-pruned to row-group metadata
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = (
         dfreq.crossJoin(F.broadcast(n_docs))
@@ -3254,7 +3258,7 @@ def q61_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tf.join(F.broadcast(idf), "word").select(
         "doc_id", "lang", "word",
         (F.col("tf") * F.col("idf_milli")).alias("w"),
-    )
+    ).persist()  # consumed by ssq + both self-join sides (GC-cleaned)
     ssq = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("ssq"))
     w = w.join(ssq, "doc_id")
     a, b = w.alias("a"), w.alias("b")
@@ -3320,6 +3324,78 @@ FROM pairs JOIN ssq s1 ON s1.doc_id = doc_id1
            JOIN ssq s2 ON s2.doc_id = doc_id2
 WHERE round(dot::DOUBLE / sqrt(s1.ssq::DOUBLE * s2.ssq::DOUBLE) * 1000000)
       >= 800000
+"""
+
+
+def q62_unigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram negative-log-likelihood quality score — the LM-perplexity
+    proxy (CCNet-style) a pipeline computes to rank documents by fluency
+    before filtering: train a unigram LM on the corpus itself (word counts
+    / total tokens), score each doc by its average per-token NLL.  High
+    avg-NLL = rare-word-heavy (gibberish, codes); low = boilerplate.
+
+    Determinism contract: per-word NLL is quantized to a MILLI-INT channel
+    (round(-ln(count/T) * 1000) >= 0), the per-doc sum is exact BIGINT, and
+    the average uses the q06 half-up integer rounding
+    ((sum*2000 + n) // (2n) -> micro units) — everything except one
+    correctly-rounded ln is integer arithmetic, order-free under shuffle.
+    Scale: two map-side-combined wordcount aggs (the LM fits in a
+    broadcast at any corpus size after df pruning; here the full vocab is
+    already tiny) + one broadcast join back to the tf rows — no shuffle
+    touches the token stream twice."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select("doc_id", F.explode(C.word_tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # consumed by the LM agg and the scoring join: one
+        # tokenize pass instead of three corpus scans (GC-cleaned)
+    )
+    lm = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("t_tokens"))
+    nll = lm.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.round(
+            -F.log(F.col("cnt").cast("double") / F.col("t_tokens")) * 1000
+        ).cast("bigint").alias("nll_milli"),
+    )
+    scored = (
+        tf.join(F.broadcast(nll), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("nll_milli")).alias("_s"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tokens",
+        F.floor(
+            (F.col("_s") * 2000 + F.col("n_tokens"))
+            / (F.lit(2) * F.col("n_tokens"))
+        ).cast("bigint").alias("avg_nll_micro"),
+    )
+
+
+_Q62_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+),
+lm AS (SELECT word, sum(tf)::BIGINT AS cnt FROM tf GROUP BY word),
+nll AS (
+  SELECT word,
+         CAST(round(-ln(cnt::DOUBLE / (SELECT sum(cnt) FROM lm)) * 1000)
+              AS BIGINT) AS nll_milli
+  FROM lm
+)
+SELECT doc_id,
+       sum(tf)::BIGINT AS n_tokens,
+       ((sum(tf * nll_milli) * 2000 + sum(tf)) // (2 * sum(tf)))::BIGINT
+         AS avg_nll_micro
+FROM tf JOIN nll USING (word)
+GROUP BY doc_id
 """
 
 
@@ -3396,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_ann_quantized": q59_ann_quantized,
         "q60_semantic_dedup": q60_semantic_dedup,
         "q61_tfidf_cosine_pairs": q61_tfidf_cosine_pairs,
+        "q62_unigram_nll_quality": q62_unigram_nll_quality,
     }
 
 
@@ -3461,6 +3538,7 @@ def oracle_sql() -> dict[str, str]:
         "q59_ann_quantized": _Q10_SQL,  # sound-bound quantized == brute force
         "q60_semantic_dedup": _Q60_SQL,
         "q61_tfidf_cosine_pairs": _Q61_SQL,
+        "q62_unigram_nll_quality": _Q62_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
