@@ -3399,6 +3399,67 @@ GROUP BY doc_id
 """
 
 
+def q63_lcs_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact longest-common-substring overlap pass: winnowing candidates
+    (operators/suffix.containment_candidates, the MOSS fingerprint join)
+    -> suffix-automaton LCS verify (operators/suffix.lcs_verify) — the
+    substring tier of the dedup cascade with an EXACT overlap-length
+    output, not just a containment fraction (q18).
+
+    Constructed corpus with a closed-form oracle: per doc a 224-char hex
+    base text (chained md5 of the doc_id — 16-symbol alphabet, so
+    incidental cross-doc common substrings are ~4 chars); for doc_id % 5
+    == 0 a copy at doc_id + 1_000_000 embedding EXACTLY
+    L = 30 + doc_id % 50 chars of the base (substring at offset 51)
+    between 'Z' sentinels (not a hex symbol, so the match cannot extend)
+    inside otherwise-unrelated hex.  Hence LCS(base, copy) = L exactly,
+    and every planted overlap (>= 30) clears the winnowing guarantee
+    (k=16, window=8 -> any >= 23-char overlap shares a fingerprint), so
+    recall and precision are both 1.0 and the oracle enumerates the
+    planted pairs arithmetically."""
+    from text_similarity_node_spark.operators.suffix import (
+        containment_candidates,
+        lcs_verify,
+    )
+
+    def hexpart(salt: str, n: int):
+        return F.concat(*[
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"{salt}{j}")))
+            for j in range(n)
+        ])
+
+    base = _load(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "text", hexpart("b", 7)
+    )
+    L = (F.lit(30) + F.col("doc_id") % 50).cast("int")
+    copies = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            hexpart("c", 3), F.lit("Z"),
+            F.col("text").substr(F.lit(51), L),
+            F.lit("Z"), hexpart("d", 3),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(copies)
+    cands = containment_candidates(
+        corpus, "doc_id", "text", min_len=16, window=8
+    )
+    out = lcs_verify(cands, corpus, "doc_id", "text", min_len=30)
+    return out.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        F.col("lcs_len").cast("int").alias("lcs_len"),
+    )
+
+
+_Q63_SQL = """
+SELECT doc_id AS doc_id1,
+       doc_id + 1000000 AS doc_id2,
+       (30 + doc_id % 50)::INT AS lcs_len
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3473,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_semantic_dedup": q60_semantic_dedup,
         "q61_tfidf_cosine_pairs": q61_tfidf_cosine_pairs,
         "q62_unigram_nll_quality": q62_unigram_nll_quality,
+        "q63_lcs_overlap_pairs": q63_lcs_overlap_pairs,
     }
 
 
@@ -3539,6 +3601,7 @@ def oracle_sql() -> dict[str, str]:
         "q60_semantic_dedup": _Q60_SQL,
         "q61_tfidf_cosine_pairs": _Q61_SQL,
         "q62_unigram_nll_quality": _Q62_SQL,
+        "q63_lcs_overlap_pairs": _Q63_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -133,3 +133,104 @@ def containment_candidates(
     if return_metrics:
         return pairs, hot.select("fp", F.col("n").alias("n_docs"))
     return pairs
+
+
+def _sa_lcs(s: str, t: str) -> int:
+    """Longest common substring length via the suffix automaton of ``s``
+    streamed with ``t`` — the standard O(|s| + |t|) construction (Blumer
+    et al. 1985; the textbook online-extend algorithm).  This is the exact
+    verifier behind ``lcs_verify``; the O(|s|·|t|) DP is the test oracle
+    (tests/test_suffix_lcs.py)."""
+    # online suffix-automaton build over s
+    MAXLEN = [0]
+    LINK = [-1]
+    TRANS: list[dict[str, int]] = [{}]
+    last = 0
+    for ch in s:
+        cur = len(MAXLEN)
+        MAXLEN.append(MAXLEN[last] + 1)
+        LINK.append(-1)
+        TRANS.append({})
+        p = last
+        while p != -1 and ch not in TRANS[p]:
+            TRANS[p][ch] = cur
+            p = LINK[p]
+        if p == -1:
+            LINK[cur] = 0
+        else:
+            q = TRANS[p][ch]
+            if MAXLEN[p] + 1 == MAXLEN[q]:
+                LINK[cur] = q
+            else:
+                clone = len(MAXLEN)
+                MAXLEN.append(MAXLEN[p] + 1)
+                LINK.append(LINK[q])
+                TRANS.append(dict(TRANS[q]))
+                while p != -1 and TRANS[p].get(ch) == q:
+                    TRANS[p][ch] = clone
+                    p = LINK[p]
+                LINK[q] = clone
+                LINK[cur] = clone
+        last = cur
+    # stream t through the automaton tracking current match length
+    v, length, best = 0, 0, 0
+    for ch in t:
+        while v and ch not in TRANS[v]:
+            v = LINK[v]
+            length = MAXLEN[v]
+        if ch in TRANS[v]:
+            v = TRANS[v][ch]
+            length += 1
+            if length > best:
+                best = length
+        else:
+            v, length = 0, 0
+    return best
+
+
+def lcs_len_udf():
+    """(text1, text2) -> exact longest-common-substring length.
+
+    Per-pair Python (Arrow-batched) — the documented slow path, but it
+    runs ONLY on candidate pairs (the winnowing join has already reduced
+    the pair space), the automaton is linear in the pair's combined
+    length, and the BLOB/text shuffles once to meet its pair.  A
+    whole-batch vectorization has no numpy shape here (per-pair dynamic
+    trie); the same defense as the minhash/simhash per-row loops."""
+
+    @F.pandas_udf(T.IntegerType())
+    def udf(t1: pd.Series, t2: pd.Series) -> pd.Series:
+        out = np.zeros(len(t1), dtype=np.int32)
+        for i, (a, b) in enumerate(zip(t1, t2)):
+            if a and b:
+                # build the automaton over the shorter side
+                if len(a) > len(b):
+                    a, b = b, a
+                out[i] = _sa_lcs(a, b)
+        return pd.Series(out)
+
+    return udf
+
+
+def lcs_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 32,
+) -> DataFrame:
+    """Exact-overlap verify for the substring pass: attach both texts to
+    each candidate pair, compute the exact longest-common-substring
+    length (suffix automaton), keep pairs with lcs_len >= min_len.
+    Returns (id1, id2, lcs_len).  Composes with containment_candidates:
+    winnowing guarantees a candidate for any overlap >= k + window - 1,
+    so candidates -> lcs_verify is EXACT (recall 1.0) for overlaps at or
+    above that guarantee length."""
+    t1 = docs.select(F.col(id_col).alias("id1"), F.col(text_col).alias("_t1"))
+    t2 = docs.select(F.col(id_col).alias("id2"), F.col(text_col).alias("_t2"))
+    return (
+        pairs.join(t1, "id1").join(t2, "id2")
+        .withColumn("lcs_len", lcs_len_udf()(F.col("_t1"), F.col("_t2")))
+        .filter(F.col("lcs_len") >= min_len)
+        .select("id1", "id2", "lcs_len")
+    )
