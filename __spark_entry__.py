@@ -3460,6 +3460,81 @@ FROM documents WHERE doc_id % 5 = 0
 """
 
 
+def q64_hll_vocab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for approximate distinct counting — the op a
+    pipeline uses to size vocabularies/dictionaries at corpora too large
+    for exact countDistinct: per-lang exact distinct word count alongside
+    Spark's HyperLogLog++ estimate (rsd=0.02), emitting the exact count
+    and a within-5% verdict.  HLL++ is deterministic (hash-register max,
+    order-independent), so the verdict is stable and the driver hash
+    matches iff the sketch meets its error contract on every group — the
+    same audit pattern as q31/q35/q36 (oracle asserts the verdict TRUE
+    with the exact count from brute-force SQL).  Scale: both aggregates
+    are map-side combined; the HLL register array (not the word set)
+    crosses the exchange."""
+    docs = _load(spark, sf_dir, "documents").select(
+        "lang", F.explode(C.word_tokens(F.col("text"))).alias("word")
+    )
+    agg = docs.groupBy("lang").agg(
+        F.countDistinct("word").alias("n_vocab"),
+        F.approx_count_distinct("word", rsd=0.02).alias("_est"),
+    )
+    return agg.select(
+        "lang", "n_vocab",
+        (
+            F.abs(F.col("_est") - F.col("n_vocab"))
+            <= F.col("n_vocab") * 0.05
+        ).alias("within_5pct"),
+    )
+
+
+_Q64_SQL = r"""
+SELECT lang,
+       count(DISTINCT word)::BIGINT AS n_vocab,
+       TRUE AS within_5pct
+FROM (SELECT lang, unnest(regexp_extract_all(text, '\w+')) AS word
+      FROM documents)
+GROUP BY lang
+"""
+
+
+def q65_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate event suppression (debounce) — the telemetry
+    canonicalization pass run before sessionization/training: within each
+    user's (ts, event_id)-ordered stream, drop an event when its
+    (event_type, value) equals the immediately preceding event's.  One
+    shuffle on user_id; the lag comparison is a window over the same
+    partitioning (no second exchange).  Emits the kept event ids."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = ev.withColumn("_pt", F.lag("event_type").over(w)).withColumn(
+        "_pv", F.lag("value").over(w)
+    ).filter(
+        F.col("_pt").isNull()
+        | (F.col("_pt") != F.col("event_type"))
+        | (F.col("_pv") != F.col("value"))
+    )
+    return kept.select("event_id", "user_id", "event_type")
+
+
+_Q65_SQL = """
+WITH lagged AS (
+  SELECT event_id, user_id, event_type, value,
+         lag(event_type) OVER w AS pt,
+         lag(value) OVER w AS pv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, event_type
+FROM lagged
+WHERE pt IS NULL OR pt != event_type OR pv != value
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3535,6 +3610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_tfidf_cosine_pairs": q61_tfidf_cosine_pairs,
         "q62_unigram_nll_quality": q62_unigram_nll_quality,
         "q63_lcs_overlap_pairs": q63_lcs_overlap_pairs,
+        "q64_hll_vocab_audit": q64_hll_vocab_audit,
+        "q65_event_debounce": q65_event_debounce,
     }
 
 
@@ -3602,6 +3679,8 @@ def oracle_sql() -> dict[str, str]:
         "q61_tfidf_cosine_pairs": _Q61_SQL,
         "q62_unigram_nll_quality": _Q62_SQL,
         "q63_lcs_overlap_pairs": _Q63_SQL,
+        "q64_hll_vocab_audit": _Q64_SQL,
+        "q65_event_debounce": _Q65_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
