@@ -3535,6 +3535,46 @@ WHERE pt IS NULL OR pt != event_type OR pv != value
 """
 
 
+def q66_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution profile — the quartile +
+    tail summary a pipeline reads before setting length-filter cutoffs:
+    exact p25/p50/p75/p99 of n_chars per lang (type-7 linear
+    interpolation; verified bit-identical between Spark's `percentile`
+    and DuckDB's `quantile_cont` on this data, emitted as micro-ints).
+    Scale note: exact `percentile` buffers each group's values — fine for
+    a per-LANG profile (bounded group count, values spill-able), but the
+    100-TB path for high-cardinality grouping is `approx_percentile`
+    (Greenwald-Khanna digest, mergeable map-side), auditable with the q64
+    within-bound pattern."""
+    df = _load(spark, sf_dir, "documents").select("lang", "n_chars")
+    q = df.groupBy("lang").agg(
+        F.expr(
+            "percentile(n_chars, array(0.25, 0.5, 0.75, 0.99))"
+        ).alias("_q"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    cols = {"p25": 1, "p50": 2, "p75": 3, "p99": 4}
+    return q.select(
+        "lang", "n_docs",
+        *[
+            F.round(F.element_at("_q", i) * 1e6).cast("bigint").alias(
+                f"{name}_micro"
+            )
+            for name, i in cols.items()
+        ],
+    )
+
+
+_Q66_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       CAST(round(quantile_cont(n_chars, 0.25) * 1000000) AS BIGINT) AS p25_micro,
+       CAST(round(quantile_cont(n_chars, 0.50) * 1000000) AS BIGINT) AS p50_micro,
+       CAST(round(quantile_cont(n_chars, 0.75) * 1000000) AS BIGINT) AS p75_micro,
+       CAST(round(quantile_cont(n_chars, 0.99) * 1000000) AS BIGINT) AS p99_micro
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3612,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_lcs_overlap_pairs": q63_lcs_overlap_pairs,
         "q64_hll_vocab_audit": q64_hll_vocab_audit,
         "q65_event_debounce": q65_event_debounce,
+        "q66_length_profile": q66_length_profile,
     }
 
 
@@ -3681,6 +3722,7 @@ def oracle_sql() -> dict[str, str]:
         "q63_lcs_overlap_pairs": _Q63_SQL,
         "q64_hll_vocab_audit": _Q64_SQL,
         "q65_event_debounce": _Q65_SQL,
+        "q66_length_profile": _Q66_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
