@@ -80,3 +80,54 @@ class ParquetCatalog:
         p = self._path(table, config_hash)
         if os.path.exists(p):
             shutil.rmtree(p)
+
+    # -- bucketed tables (co-located joins) -------------------------------
+
+    def _table_name(self, table: str, config_hash: str) -> str:
+        return f"{table}__{config_hash}"
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        config_hash: str,
+        bucket_col: str,
+        n_buckets: int = 32,
+    ) -> DataFrame:
+        """Durable stage output as a BUCKETED table: rows are hash-
+        partitioned into ``n_buckets`` files by ``bucket_col`` and sorted
+        within each bucket, and the layout is recorded in the session
+        catalog — so every later equi-join or aggregation on
+        ``bucket_col`` against this table skips its shuffle exchange
+        (Catalyst reads the bucket spec and plans a sort-merge join with
+        the bucketed side exchange-free; tests/test_bucketing.py asserts
+        this at the plan level).  This is the 100-TB lever for stores
+        that are re-joined on the same key every run — signature /
+        document stores re-attached to candidate pairs, streaming stores
+        re-probed per batch: pay the partitioning once at write, not per
+        join.  On Iceberg the same declaration is the table's
+        ``bucket(N, col)`` partition transform.
+
+        Bucketed output requires ``saveAsTable`` (plain parquet writes
+        drop the bucket spec); the table is external, its files live
+        under the warehouse path like every other checkpoint."""
+        name = self._table_name(table, config_hash)
+        path = self._path(table, config_hash)
+        (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        return self.spark.table(name)
+
+    def read_bucketed(self, table: str, config_hash: str) -> DataFrame:
+        """Read a bucketed stage output THROUGH the catalog (reading the
+        path directly would discard the bucket spec and re-introduce the
+        shuffle)."""
+        return self.spark.table(self._table_name(table, config_hash))
+
+    def bucketed_exists(self, table: str, config_hash: str) -> bool:
+        return self.spark.catalog.tableExists(self._table_name(table, config_hash))
