@@ -90,3 +90,28 @@ def test_bucketed_resume_roundtrip(spark, catalog):
     assert catalog.bucketed_exists("docs", "h3")
     back = catalog.read_bucketed("docs", "h3")
     assert sorted(r["doc_id"] for r in back.collect()) == list(range(100))
+
+
+def test_pipeline_signature_store_is_bucketed(spark):
+    """The pipeline persists its signature store bucketed on clip_id
+    (and resumes from it); bucketed_stores=False keeps the plain path."""
+    import tempfile
+
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.plans.pipeline import NearDupPipeline
+    from text_similarity_node_spark.sources.clips import ClipsSpec, generate_clips
+
+    clips, _ = generate_clips(spark, ClipsSpec(n_clips=60, seed=7))
+    cfg = PipelineConfig(verify_threshold=0.8, run_id="bucketed_pipe")
+    with tempfile.TemporaryDirectory(prefix="tsn_bpipe_wh_") as wh:
+        pipe = NearDupPipeline(spark, cfg, wh)
+        res = pipe.run(clips)
+        n = res.clusters.count()
+        assert n == 60
+        assert pipe.catalog.bucketed_exists("signatures", cfg.config_hash())
+        # resume path reads the bucketed table back
+        res2 = NearDupPipeline(spark, cfg, wh).run(clips)
+        assert res2.clusters.count() == n
+        spark.sql(
+            f"DROP TABLE IF EXISTS signatures__{cfg.config_hash()}"
+        )

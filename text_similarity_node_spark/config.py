@@ -163,6 +163,14 @@ class PipelineConfig:
     # the latency-calibrated scaling bench turns it off along with
     # checkpoint_stages.
     per_partition_metrics: bool = True
+    # Persist keyed stage outputs (the signature store) as BUCKETED tables
+    # (hash-bucketed + sorted on the key, ParquetCatalog.write_bucketed):
+    # every downstream equi-join on the key — the two signature-agreement
+    # prefilter attaches per run — skips the store-side shuffle exchange.
+    # Execution-only (same rows either way, excluded from config_hash);
+    # a plain-parquet checkpoint from an earlier run still resumes (the
+    # catalog falls back to the path read, losing only the co-location).
+    bucketed_stores: bool = True
 
     run_id: str = "run0"
 
@@ -183,6 +191,7 @@ class PipelineConfig:
         payload.pop("checkpoint_stages", None)
         payload.pop("shuffle_partitions", None)
         payload.pop("per_partition_metrics", None)
+        payload.pop("bucketed_stores", None)
         blob = json.dumps(payload, sort_keys=True, default=str).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -161,18 +161,35 @@ class NearDupPipeline:
             schema=schema,
         )
 
-    def _stage(self, name: str, build, rows_in_df: DataFrame | None = None) -> DataFrame:
+    def _stage(
+        self,
+        name: str,
+        build,
+        rows_in_df: DataFrame | None = None,
+        bucket_col: str | None = None,
+    ) -> DataFrame:
         """Run-or-resume one stage: if the checkpoint exists for this config
         hash, read it back; else build, persist, log.  With
         ``cfg.checkpoint_stages`` off, stage outputs stay as in-memory
         persists (one fused DAG, no durable-store I/O — the scaling-bench
-        mode; resume is unavailable in that mode by construction)."""
+        mode; resume is unavailable in that mode by construction).
+
+        ``bucket_col`` (with ``cfg.bucketed_stores``) persists the stage
+        hash-bucketed + sorted on that key, so downstream equi-joins on it
+        skip the store-side exchange (tests/test_bucketing.py).  Resume
+        order: bucketed table (same-session registration) -> plain path
+        read (correct either way — bucket files are ordinary parquet)."""
+        bucket_col = bucket_col if self.cfg.bucketed_stores else None
         if not self.cfg.checkpoint_stages:
             out = build().persist()
             n_in = rows_in_df.count() if rows_in_df is not None else -1
             self._log(name, n_in, out.count())
             self._lineage(name, input_desc=f"stage-input:{name}")
             self._maybe_log_partitions(name, rows_in_df, out)
+            return out
+        if bucket_col is not None and self.catalog.bucketed_exists(name, self.chash):
+            out = self.catalog.read_bucketed(name, self.chash)
+            self._log(name, -1, out.count(), detail="resumed-from-checkpoint")
             return out
         if self.catalog.exists(name, self.chash):
             out = self.catalog.read(name, self.chash)
@@ -181,7 +198,13 @@ class NearDupPipeline:
             # the same config hash) — not re-recorded on resume
             return out
         df = build()
-        out = self.catalog.write(df, name, self.chash)
+        if bucket_col is not None:
+            out = self.catalog.write_bucketed(
+                df, name, self.chash, bucket_col,
+                n_buckets=self.cfg.shuffle_partitions,
+            )
+        else:
+            out = self.catalog.write(df, name, self.chash)
         n_in = rows_in_df.count() if rows_in_df is not None else -1
         self._log(name, n_in, out.count())
         self._lineage(name, input_desc=f"stage-input:{name}")
@@ -241,7 +264,9 @@ class NearDupPipeline:
                 n_distinct.alias("n_distinct"), n_total.alias("n_total"),
             )
 
-        signatures = self._stage("signatures", build_signatures, rep_ids)
+        signatures = self._stage(
+            "signatures", build_signatures, rep_ids, bucket_col="clip_id"
+        )
 
         # Stage 2: LSH band candidates (salted, capped-with-metrics), with
         # the signature-agreement prefilter FUSED into the stage: the raw

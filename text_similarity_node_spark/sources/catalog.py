@@ -126,8 +126,32 @@ class ParquetCatalog:
     def read_bucketed(self, table: str, config_hash: str) -> DataFrame:
         """Read a bucketed stage output THROUGH the catalog (reading the
         path directly would discard the bucket spec and re-introduce the
-        shuffle)."""
-        return self.spark.table(self._table_name(table, config_hash))
+        shuffle).  A fresh driver session has no table registration for
+        files written by an earlier session — fall back to the plain path
+        read there: same rows, only the co-location benefit is lost."""
+        name = self._table_name(table, config_hash)
+        if self.spark.catalog.tableExists(name):
+            return self.spark.table(name)
+        return self.read(table, config_hash)
 
     def bucketed_exists(self, table: str, config_hash: str) -> bool:
-        return self.spark.catalog.tableExists(self._table_name(table, config_hash))
+        """True only when the session-catalog registration exists, THIS
+        warehouse's files exist, and the registration points at this
+        warehouse — a stale registration left by an earlier run against a
+        different (possibly cleaned-up) warehouse must not satisfy a
+        resume check."""
+        name = self._table_name(table, config_hash)
+        if not (
+            self.spark.catalog.tableExists(name)
+            and self.exists(table, config_hash)
+        ):
+            return False
+        loc = [
+            r["data_type"]
+            for r in self.spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            if r["col_name"] == "Location"
+        ]
+        want = os.path.abspath(self._path(table, config_hash))
+        return bool(loc) and os.path.abspath(
+            loc[0].replace("file:", "", 1)
+        ) == want
