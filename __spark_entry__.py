@@ -3575,6 +3575,45 @@ FROM documents GROUP BY lang
 """
 
 
+def q67_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split — q42's content-stable hash rule
+    applied to the DUPLICATE-CLUSTER representative instead of the doc
+    id, so byte-identical duplicates can never straddle the split (the
+    classic eval-contamination bug: a doc in train and its copy in val).
+    Composition: exact-dup canonicalization (one shuffle on md5(text),
+    window-min representative — the q28 machinery) -> hash_split on the
+    canonical id.  The split stays content-stable under corpus growth:
+    a cluster's assignment depends only on its representative's id.  At
+    the near-dup tier the same composition runs on the pipeline's CC
+    cluster_id (q49/q60) — registered here at the exact tier because the
+    md5 grouping is what DuckDB can mirror byte-for-byte."""
+    from text_similarity_node_spark.operators.dedup import exact_dedup
+    from text_similarity_node_spark.operators.text_analysis import hash_split
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    canon = exact_dedup(docs, "doc_id", "text")
+    return canon.select(
+        "doc_id",
+        "canonical_id",
+        hash_split(
+            F.col("canonical_id"), train_fraction=0.9, salt="r3"
+        ).alias("split"),
+    )
+
+
+_Q67_SQL = """
+WITH canon AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+  FROM documents
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN substring(md5('r3' || canonical_id::VARCHAR), 1, 2) < 'e6'
+            THEN 'train' ELSE 'val' END AS split
+FROM canon
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3653,6 +3692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_hll_vocab_audit": q64_hll_vocab_audit,
         "q65_event_debounce": q65_event_debounce,
         "q66_length_profile": q66_length_profile,
+        "q67_leakage_safe_split": q67_leakage_safe_split,
     }
 
 
@@ -3723,6 +3763,7 @@ def oracle_sql() -> dict[str, str]:
         "q64_hll_vocab_audit": _Q64_SQL,
         "q65_event_debounce": _Q65_SQL,
         "q66_length_profile": _Q66_SQL,
+        "q67_leakage_safe_split": _Q67_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
