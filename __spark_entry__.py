@@ -3614,6 +3614,91 @@ FROM canon
 """
 
 
+def q68_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the complement of the dedup signal:
+    the fraction of a doc's distinct word 5-grams that appear in NO other
+    document (df == 1).  Low novelty flags boilerplate/templated docs the
+    near-dup passes should inspect; high novelty marks unique content
+    worth keeping.  Exact integer channel: counts are BIGINT, the
+    fraction is the q06 half-up micro rule.  Scale: one map-side-combined
+    gram count + a broadcast-threshold-free second agg keyed by doc —
+    both shuffles carry (hash, count) rows, never text."""
+    from text_similarity_node_spark.operators.text_analysis import word_shingles
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles(C.word_tokens(F.col("text")), 5).alias("g")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct("g")).alias("gram")
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.floor(
+            (F.col("n_novel") * 2000000 + F.col("n_grams"))
+            / (2 * F.col("n_grams"))
+        ).cast("bigint").alias("novelty_micro"),
+    )
+
+
+_Q68_SQL = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+  FROM words,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i)
+  WHERE len(w) >= 5
+),
+dfreq AS (SELECT gram, count(*)::BIGINT AS df FROM grams GROUP BY gram)
+SELECT doc_id,
+       count(*)::BIGINT AS n_grams,
+       ((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 2000000 + count(*))
+        // (2 * count(*)))::BIGINT AS novelty_micro
+FROM grams JOIN dfreq USING (gram)
+GROUP BY doc_id
+"""
+
+
+def q69_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup report a pipeline
+    publishes after the exact tier: how many byte-identical clusters
+    exist at each size (size 1 = unique docs).  Two map-side-combined
+    aggregations over md5(text); no text ever shuffles (the hash does)."""
+    docs = _load(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("h")
+    )
+    sizes = docs.groupBy("h").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        )
+    )
+
+
+_Q69_SQL = """
+WITH sizes AS (
+  SELECT md5(text) AS h, count(*)::BIGINT AS cluster_size
+  FROM documents GROUP BY md5(text)
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3693,6 +3778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_event_debounce": q65_event_debounce,
         "q66_length_profile": q66_length_profile,
         "q67_leakage_safe_split": q67_leakage_safe_split,
+        "q68_ngram_novelty": q68_ngram_novelty,
+        "q69_dup_cluster_histogram": q69_dup_cluster_histogram,
     }
 
 
@@ -3764,6 +3851,8 @@ def oracle_sql() -> dict[str, str]:
         "q65_event_debounce": _Q65_SQL,
         "q66_length_profile": _Q66_SQL,
         "q67_leakage_safe_split": _Q67_SQL,
+        "q68_ngram_novelty": _Q68_SQL,
+        "q69_dup_cluster_histogram": _Q69_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
