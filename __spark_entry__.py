@@ -3182,8 +3182,13 @@ def q60_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_similarity_node_spark.operators.dedup import semantic_dedup
 
     emb = _neardup_embeddings(spark, sf_dir)
+    # FAISS sizing convention: lists grow ~sqrt(N) so per-list occupancy
+    # (the quadratic driver) stays bounded as the corpus scales; the
+    # floor of 8 keeps the driver-gate scale (sf0.01, 615 vecs) on the
+    # verified 8-list configuration
+    n_lists = max(8, int(emb.count() ** 0.5 / 4))
     labels = semantic_dedup(
-        emb, "vec_id", "v", dim=64, threshold=0.98, n_lists=8, nprobe=4
+        emb, "vec_id", "v", dim=64, threshold=0.98, n_lists=n_lists, nprobe=4
     )
     return labels.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
