@@ -119,3 +119,30 @@ def test_centroids_frozen_across_restart(spark, dirs):
     d2 = IncrementalSemanticDedup(spark, state, dim=DIM, n_lists=4, nprobe=2)
     c2 = d2._centroids(spark.createDataFrame(rows[5:6], SCHEMA))
     assert np.allclose(c1, c2)
+
+
+def test_over_cap_candidates_take_semi_join_path(spark, dirs, monkeypatch):
+    """More distinct candidate vec ids than _ISIN_PUSHDOWN_CAP: the
+    historical payload fetch must go through the distributed left-semi
+    join, never collecting the id set to the driver (the text path's
+    round-2 discipline, mirrored)."""
+    import text_similarity_node_spark.streaming.embedding_incremental as emb
+
+    monkeypatch.setattr(emb, "_ISIN_PUSHDOWN_CAP", 2)
+    src, state, ckpt = dirs
+    rows = _corpus()
+    dedup = IncrementalSemanticDedup(spark, state, dim=DIM, n_lists=4, nprobe=4)
+    _write_batch(spark, src, rows[:9], "b0")  # the three cliques' members
+    q = dedup.start(src + "/*", SCHEMA, ckpt)
+    q.awaitTermination(300)
+    # batch 2: near-copies of several historical vectors -> many distinct
+    # candidate ids, all fetched via the semi-join path
+    copies = [
+        (vid + 100, [x + 1e-4 for x in v]) for vid, v in rows[:9]
+    ]
+    _write_batch(spark, src, copies, "b1")
+    q = dedup.start(src + "/*", SCHEMA, ckpt)
+    q.awaitTermination(300)
+    pairs = {(r["id1"], r["id2"]) for r in dedup.verified_pairs().collect()}
+    for vid, _ in rows[:9]:
+        assert (vid, vid + 100) in pairs, f"missing cross-batch pair {vid}"
