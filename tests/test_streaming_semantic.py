@@ -146,3 +146,26 @@ def test_over_cap_candidates_take_semi_join_path(spark, dirs, monkeypatch):
     pairs = {(r["id1"], r["id2"]) for r in dedup.verified_pairs().collect()}
     for vid, _ in rows[:9]:
         assert (vid, vid + 100) in pairs, f"missing cross-batch pair {vid}"
+
+
+def test_batch_metrics_ledger(spark, dirs):
+    """Each micro-batch writes exactly one metrics row (rows_in,
+    candidates, pairs, wall time); a replayed batch OVERWRITES its row
+    instead of appending a duplicate."""
+    from text_similarity_node_spark.streaming.ledger import read_batch_metrics
+
+    src, state, ckpt = dirs
+    rows = _corpus()
+    dedup = IncrementalSemanticDedup(spark, state, dim=DIM, n_lists=4, nprobe=4)
+    for i, sl in enumerate([rows[:6], rows[6:]]):
+        _write_batch(spark, src, sl, f"b{i}")
+        q = dedup.start(src + "/*", SCHEMA, ckpt)
+        q.awaitTermination(300)
+    m = {r["batch_id"]: r for r in read_batch_metrics(spark, state).collect()}
+    assert set(m) == {0, 1}
+    assert m[0]["rows_in"] == 6 and m[1]["rows_in"] == len(rows) - 6
+    assert all(r["sink"] == "semantic" and r["elapsed_s"] > 0 for r in m.values())
+    # replay batch 0: still exactly one row per batch
+    dedup.process_batch(spark.createDataFrame(rows[:6], SCHEMA), 0)
+    again = read_batch_metrics(spark, state).collect()
+    assert len(again) == 2

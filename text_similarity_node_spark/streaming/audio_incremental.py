@@ -85,6 +85,11 @@ class IncrementalAudioDedup:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        from .ledger import append_batch_metrics
+
+        t0 = time.time()
         lm_new = (
             batch_df.select(
                 "clip_id",
@@ -241,6 +246,16 @@ class IncrementalAudioDedup:
         batch_df.select("clip_id", "bytes", "sr_hz").sortWithinPartitions(
             "clip_id"
         ).write.mode("append").parquet(self.clips_path)
+        # per-batch metrics row (batch-id-keyed file: replay overwrites)
+        append_batch_metrics(
+            self.state_dir, "audio", batch_id,
+            rows_in=batch_df.select("clip_id").count(),
+            n_candidates=pairs.count(),
+            n_pairs=self.spark.read.parquet(
+                os.path.join(self.pairs_path, f"batch_id={int(batch_id)}")
+            ).count(),
+            started_at=t0,
+        )
         lm_new.unpersist()
         kept_new.unpersist()
         pairs.unpersist()

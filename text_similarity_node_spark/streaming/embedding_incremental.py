@@ -110,6 +110,11 @@ class IncrementalSemanticDedup:
     # -- the sink ------------------------------------------------------------
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        from .ledger import append_batch_metrics
+
+        t0 = time.time()
         new = batch_df.select(
             F.col("vec_id"), F.col("v").cast("array<double>").alias("v")
         )
@@ -216,6 +221,16 @@ class IncrementalSemanticDedup:
         tagged.select("vec_id", "v").sortWithinPartitions("vec_id").write.mode(
             "append"
         ).parquet(self.vec_path)
+        # per-batch metrics row (batch-id-keyed file: replay overwrites)
+        append_batch_metrics(
+            self.state_dir, "semantic", batch_id,
+            rows_in=tagged.count(),
+            n_candidates=cand.count(),
+            n_pairs=self.spark.read.parquet(
+                os.path.join(self.pairs_path, f"batch_id={int(batch_id)}")
+            ).count(),
+            started_at=t0,
+        )
         tagged.unpersist()
         cand.unpersist()
         cand_ids_df.unpersist()

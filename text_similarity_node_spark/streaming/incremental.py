@@ -79,6 +79,11 @@ class IncrementalDedup:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        from .ledger import append_batch_metrics
+
+        t0 = time.time()
         cfg = self.cfg
         docs = batch_df.select("clip_id", "transcript").withColumn(
             "tokens", _tokens_col(cfg)
@@ -178,6 +183,17 @@ class IncrementalDedup:
         )
         new_docs.sortWithinPartitions("clip_id").write.mode("append").parquet(
             self.docs_path
+        )
+        # per-batch metrics row (batch-id-keyed file: replay overwrites);
+        # counts come from cached frames / the just-written tiny pair dir
+        append_batch_metrics(
+            self.state_dir, "text", batch_id,
+            rows_in=new_docs.count(),
+            n_candidates=cand.count(),
+            n_pairs=self.spark.read.parquet(
+                os.path.join(self.pairs_path, f"batch_id={int(batch_id)}")
+            ).count(),
+            started_at=t0,
         )
         new_bands.unpersist()
         new_docs.unpersist()
