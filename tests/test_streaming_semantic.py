@@ -169,3 +169,27 @@ def test_batch_metrics_ledger(spark, dirs):
     dedup.process_batch(spark.createDataFrame(rows[:6], SCHEMA), 0)
     again = read_batch_metrics(spark, state).collect()
     assert len(again) == 2
+
+
+def test_compaction_preserves_results_and_bounds_files(spark, dirs):
+    """compact_stores shrinks member/vector store file counts without
+    changing subsequent dedup results."""
+    import glob
+
+    src, state, ckpt = dirs
+    rows = _corpus()
+    dedup = IncrementalSemanticDedup(spark, state, dim=DIM, n_lists=4, nprobe=4)
+    for i, sl in enumerate([rows[:4], rows[4:7], rows[7:9]]):
+        _write_batch(spark, src, sl, f"b{i}")
+        q = dedup.start(src + "/*", SCHEMA, ckpt)
+        q.awaitTermination(300)
+    before_files = len(glob.glob(os.path.join(state, "vec_store", "*.parquet")))
+    dedup.compact_stores()
+    after_files = len(glob.glob(os.path.join(state, "vec_store", "*.parquet")))
+    assert after_files <= max(1, before_files // 2)
+    # the next batch (straddling pairs against compacted history) is intact
+    _write_batch(spark, src, rows[9:], "b3")
+    q = dedup.start(src + "/*", SCHEMA, ckpt)
+    q.awaitTermination(300)
+    got = {(r["id1"], r["id2"]) for r in dedup.verified_pairs().collect()}
+    assert got == _truth_pairs(rows)

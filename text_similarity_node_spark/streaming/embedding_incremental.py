@@ -235,6 +235,39 @@ class IncrementalSemanticDedup:
         cand.unpersist()
         cand_ids_df.unpersist()
 
+    def compact_stores(self, target_files_per_partition: int = 1) -> None:
+        """Rewrite the member and vector stores to bounded file counts
+        (each micro-batch appends small files; footer reads eventually
+        dominate the history probe).  Layout invariants preserved —
+        members stay partitioned by list_id, vectors stay sorted by
+        vec_id (the row-group-skipping contract of the isin pushdown).
+        Run between drains; atomic via write-new + rename (the text
+        path's discipline, streaming/incremental.py)."""
+        import shutil
+        import uuid
+
+        spark = self.spark
+        for path, part_cols, sort_col in (
+            (self.member_path, ["list_id"], "vec_id"),
+            (self.vec_path, [], "vec_id"),
+        ):
+            if not self._store_exists(path):
+                continue
+            df = spark.read.parquet(path)
+            tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+            writer = (
+                df.repartition(target_files_per_partition, *part_cols)
+                if part_cols
+                else df.coalesce(target_files_per_partition)
+            ).sortWithinPartitions(sort_col).write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp)
+            old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+
     def start(self, source_dir: str, schema: str, checkpoint_dir: str):
         stream = self.spark.readStream.schema(schema).parquet(source_dir)
         return (
