@@ -3704,6 +3704,108 @@ FROM sizes GROUP BY cluster_size
 """
 
 
+def q70_behavioral_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral near-duplicate users — replay/bot detection, the events-
+    table sibling of document dedup: each user's (ts, event_id)-ordered
+    event_type stream is shingled into 3-grams and users with set-Jaccard
+    >= 0.6 are paired.  Corpus: every user_id % 7 == 0 gets a planted
+    replica at user_id + 10_000 replaying the same stream minus every
+    event with event_id % 10 == 0 (a bot that drops ~10% of events) —
+    planted pairs land ~0.7-0.9 while the max natural pair is 0.494, so
+    the threshold has no boundary cases and the oracle is brute-force
+    exact.  Scale shape: one shuffle to assemble per-user sequences
+    (sort_array over collected structs — deterministic under ties), then
+    the inverted-index gram join (the q30 shape; at 100x the gram key
+    routes through the LSH machinery like q37).  jacc_micro = exact
+    integer counts through one double division, rounded to micro."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    replicas = ev.filter(
+        (F.col("user_id") % 7 == 0) & (F.col("event_id") % 10 != 0)
+    ).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + 10_000).alias("user_id"),
+        "event_type",
+    )
+    allev = ev.unionByName(replicas)
+    seq = allev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("s")
+    )
+    shingles = F.when(
+        F.size("s") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("s") - 3),
+            lambda i: F.concat_ws(">", F.slice(F.col("s"), i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = seq.select(
+        "user_id", F.explode(F.array_distinct(shingles)).alias("g")
+    ).persist()  # sizes + both join sides (GC-cleaned)
+    sz = grams.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_id1"),
+            F.col("b.user_id").alias("user_id2"),
+        )
+        .agg(F.count(F.lit(1)).alias("isz"))
+    )
+    s1 = sz.select(F.col("user_id").alias("user_id1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("user_id").alias("user_id2"), F.col("n").alias("n2"))
+    jac = F.col("isz").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("isz")
+    ).cast("double")
+    return (
+        inter.join(s1, "user_id1").join(s2, "user_id2")
+        .select(
+            "user_id1", "user_id2",
+            F.round(jac * 1e6).cast("bigint").alias("jacc_micro"),
+        )
+        .filter(F.col("jacc_micro") >= 600000)
+    )
+
+
+_Q70_SQL = """
+WITH allev AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  UNION ALL
+  SELECT event_id + 10000000, ts, user_id + 10000, event_type
+  FROM events WHERE user_id % 7 = 0 AND event_id % 10 != 0
+),
+seq AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+  FROM allev GROUP BY user_id
+),
+grams AS (
+  SELECT DISTINCT user_id, array_to_string(s[i:i+2], '>') AS g
+  FROM seq, LATERAL (SELECT unnest(generate_series(1, len(s) - 2)) AS i)
+  WHERE len(s) >= 3
+),
+sz AS (SELECT user_id, count(*)::BIGINT AS n FROM grams GROUP BY user_id),
+inter AS (
+  SELECT a.user_id AS user_id1, b.user_id AS user_id2, count(*)::BIGINT AS isz
+  FROM grams a JOIN grams b ON a.g = b.g AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT user_id1, user_id2,
+       CAST(round(isz::DOUBLE / (s1.n + s2.n - isz)::DOUBLE * 1000000) AS BIGINT)
+         AS jacc_micro
+FROM inter JOIN sz s1 ON s1.user_id = user_id1
+           JOIN sz s2 ON s2.user_id = user_id2
+WHERE round(isz::DOUBLE / (s1.n + s2.n - isz)::DOUBLE * 1000000) >= 600000
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3785,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_leakage_safe_split": q67_leakage_safe_split,
         "q68_ngram_novelty": q68_ngram_novelty,
         "q69_dup_cluster_histogram": q69_dup_cluster_histogram,
+        "q70_behavioral_neardup": q70_behavioral_neardup,
     }
 
 
@@ -3858,6 +3961,7 @@ def oracle_sql() -> dict[str, str]:
         "q67_leakage_safe_split": _Q67_SQL,
         "q68_ngram_novelty": _Q68_SQL,
         "q69_dup_cluster_histogram": _Q69_SQL,
+        "q70_behavioral_neardup": _Q70_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
