@@ -3806,6 +3806,65 @@ WHERE round(isz::DOUBLE / (s1.n + s2.n - isz)::DOUBLE * 1000000) >= 600000
 """
 
 
+def q71_audio_gain_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAIN robustness of the acoustic fingerprint — the third leg of the
+    robustness-audit family (q51 time shift, q52 sample rate): copies are
+    the same melody scaled to half volume and re-quantized to int16 (the
+    volume-normalize/re-encode transformation).  Landmarks are provably
+    gain-robust by construction — peak selection is relative (local
+    maxima, magnitude order) and the parabolic interpolation runs on
+    log-magnitude DIFFERENCES, where a constant gain cancels — and
+    measured exactly invariant on this fixture (frame-peak agreement
+    24/24 under 0.5x with int16 rounding).  Copies live at doc_id +
+    500_000 (below the synth's 1M shift threshold, so they are
+    gain-scaled but NOT time-shifted); matching is exact congruence mod
+    400, the closed-form oracle."""
+    from text_similarity_node_spark.operators.audio import (
+        gain_pcm_udf,
+        synth_melody_pcm_udf,
+    )
+    from text_similarity_node_spark.operators.audio_fp import (
+        audio_fingerprint_pairs,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    synth = synth_melody_pcm_udf()
+    base = base.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).withColumn("bytes", synth(F.col("doc_id")))
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        gain_pcm_udf(0.5)(F.col("bytes")).alias("bytes"),
+    )
+    corpus = base.unionByName(copies).withColumn("sr_hz", F.lit(16000))
+    pairs = audio_fingerprint_pairs(
+        corpus,
+        "doc_id",
+        "bytes",
+        min_matches=2,
+        frame_len=4096,
+        hop=2048,
+        peaks_per_frame=1,
+        fanout=2,
+        freq_quant_hz=1.0,
+    )
+    return pairs.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q71_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 FROM documents WHERE doc_id % 6 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM corpus a JOIN corpus b
+  ON a.doc_id < b.doc_id AND a.doc_id % 400 = b.doc_id % 400
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3888,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_ngram_novelty": q68_ngram_novelty,
         "q69_dup_cluster_histogram": q69_dup_cluster_histogram,
         "q70_behavioral_neardup": q70_behavioral_neardup,
+        "q71_audio_gain_pairs": q71_audio_gain_pairs,
     }
 
 
@@ -3962,6 +4022,7 @@ def oracle_sql() -> dict[str, str]:
         "q68_ngram_novelty": _Q68_SQL,
         "q69_dup_cluster_histogram": _Q69_SQL,
         "q70_behavioral_neardup": _Q70_SQL,
+        "q71_audio_gain_pairs": _Q71_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

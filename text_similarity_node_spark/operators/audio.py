@@ -537,3 +537,25 @@ def normalize_gain_udf(target_peak: int = 30000, max_gain_micro: int = 4_000_000
         )
 
     return udf
+
+
+def gain_pcm_udf(gain: float):
+    """Scale pcm_s16le by ``gain`` (round-half-away, clipped to int16) —
+    the re-encode/volume-normalize transformation the gain-robustness
+    audit (q71) applies.  Deterministic and engine-free: pure numpy on
+    the decoded samples, re-encoded little-endian."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(payload: pd.Series) -> pd.Series:
+        out = []
+        for p in payload:
+            if p is None:
+                out.append(None)
+                continue
+            x = np.frombuffer(p, dtype="<i2").astype(np.float64) * gain
+            x = np.clip(np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)),
+                        -32768, 32767)
+            out.append(x.astype("<i2").tobytes())
+        return pd.Series(out)
+
+    return udf
