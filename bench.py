@@ -485,6 +485,80 @@ def bench_kernels():
     return out
 
 
+def bench_streaming(n_clips: int = 20_000, n_batches: int = 10):
+    """Streaming-ingest throughput: one continuous IncrementalDedup drive
+    (single checkpoint, availableNow per drain) over ``n_clips`` generated
+    clips in ``n_batches`` hash-sliced batches.  The per-batch metrics
+    ledger (streaming/ledger.py) is the evidence artifact: per-batch wall
+    must track the CANDIDATE count, not raw history size.  Prints one
+    JSON line with clips/sec and the ledger rows."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.session import get_spark
+    from text_similarity_node_spark.sources.clips import ClipsSpec, generate_clips
+    from text_similarity_node_spark.streaming.incremental import IncrementalDedup
+    from text_similarity_node_spark.streaming.ledger import read_batch_metrics
+
+    spark = get_spark(
+        app_name="tsn-bench-streaming", cores=CPUS, shuffle_partitions=CPUS
+    )
+    d = tempfile.mkdtemp(prefix="tsn_stream_bench_")
+    src, state, ckpt = [os.path.join(d, x) for x in ("src", "state", "ckpt")]
+    os.makedirs(src)
+    try:
+        clips, _ = generate_clips(spark, ClipsSpec(n_clips=n_clips, seed=11))
+        clips = clips.select("clip_id", "transcript").persist()
+        n = clips.count()
+        cfg = PipelineConfig(
+            ngram_size=5, verify_threshold=0.8, hot_band_threshold=500,
+            salt_buckets=8, shuffle_partitions=CPUS, run_id="stream_bench",
+        )
+        dedup = IncrementalDedup(spark, cfg, state)
+        t0 = time.time()
+        for i in range(n_batches):
+            b = clips.filter(
+                F.pmod(F.xxhash64("clip_id"), F.lit(n_batches)) == i
+            )
+            b.coalesce(2).write.mode("overwrite").parquet(
+                os.path.join(src, f"b{i}")
+            )
+            q = dedup.start(
+                src + "/*", "clip_id string, transcript string", ckpt
+            )
+            q.awaitTermination(600)
+        wall = time.time() - t0
+        rows = sorted(
+            read_batch_metrics(spark, state).collect(),
+            key=lambda r: r["batch_id"],
+        )
+        out = {
+            "metric": "streaming_clips_per_sec",
+            "value": round(n / wall, 1),
+            "unit": "clips/sec",
+            "clips": n,
+            "batches": n_batches,
+            "wall_s": round(wall, 1),
+            "per_batch": [
+                {
+                    "batch_id": r["batch_id"],
+                    "rows_in": r["rows_in"],
+                    "candidates": r["n_candidates"],
+                    "pairs": r["n_pairs"],
+                    "elapsed_s": round(r["elapsed_s"], 1),
+                }
+                for r in rows
+            ],
+            "cores": CPUS,
+        }
+        print(_json.dumps(out))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         i = sys.argv.index("--scaling-child")
@@ -493,5 +567,7 @@ if __name__ == "__main__":
         bench_scaling()
     elif "--kernels" in sys.argv:
         bench_kernels()
+    elif "--streaming" in sys.argv:
+        bench_streaming()
     else:
         bench_default()
