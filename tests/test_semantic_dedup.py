@@ -69,3 +69,36 @@ def test_semantic_dedup_boundary_pair_via_probes(spark):
     )
     got = {r["vec_id"]: r["rep_id"] for r in labels.collect()}
     assert got == expected
+
+
+def test_keep_low_centroid_sim_policy(spark):
+    """The SemDeDup keep policy: the representative is the member LEAST
+    similar to its home centroid (ties -> min id).  Planted geometry:
+    clique members at graded distances from the shared axis direction,
+    so the expected representative is the most perturbed member."""
+    import numpy as np
+
+    rows = []
+    base = np.zeros(DIM)
+    base[0] = 1.0
+    # member 3 is the most perturbed (largest angle from the centroid,
+    # which k-means places near the group mean); cosines stay > 0.99
+    for vid, eps in [(0, 0.0), (1, 0.02), (2, 0.05), (3, 0.09)]:
+        v = base.copy()
+        v[1] = eps
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    rows.append((20, [0.0, 0.0, 0.0, 1.0] + [0.0] * (DIM - 4)))  # singleton
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    labels = semantic_dedup(
+        df, "vec_id", "v", dim=DIM, threshold=0.99, n_lists=2, nprobe=2,
+        keep="low_centroid_sim",
+    )
+    got = {r["vec_id"]: r["rep_id"] for r in labels.collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # default policy on the same corpus keeps min id
+    labels2 = semantic_dedup(
+        df, "vec_id", "v", dim=DIM, threshold=0.99, n_lists=2, nprobe=2
+    )
+    got2 = {r["vec_id"]: r["rep_id"] for r in labels2.collect()}
+    assert got2 == {0: 0, 1: 0, 2: 0, 3: 0}

@@ -208,14 +208,25 @@ def semantic_dedup(
     salt_buckets: int = 8,
     centroids=None,
     max_iterations: int = 50,
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): cluster embeddings with the IVF coarse
     quantizer (sampled spherical k-means, operators/ann.py), generate
     candidate pairs only WITHIN clusters, exact-cosine verify at
     ``threshold``, connected components, and emit ``(id, rep_id)`` for
-    every member of a duplicate component (rep = min member id; singletons
-    are not emitted, matching connected_components' contract).
+    every member of a duplicate component (singletons are not emitted,
+    matching connected_components' contract).
+
+    ``keep`` selects the representative of each component:
+
+    * ``"min_id"`` (default) — the minimum member id; deterministic,
+      content-independent, the stable choice for resumable pipelines.
+    * ``"low_centroid_sim"`` — the member LEAST similar to its home
+      centroid (the SemDeDup paper's keep policy: within a dup group the
+      most atypical member preserves the most diversity in the retained
+      corpus); ties break on min id.  One extra window over the labeled
+      members — no new shuffle key.
 
     Boundary recall: cluster assignment is many-to-one, so a near-dup pair
     straddling a centroid boundary would be invisible to a pure
@@ -300,8 +311,42 @@ def semantic_dedup(
         .dropDuplicates(["id1", "id2"])
         .filter(F.col("cos_sim") >= threshold)
     )
-    return connected_components(
+    labels = connected_components(
         pairs.select("id1", "id2"), max_iterations=max_iterations
     ).select(
-        F.col("clip_id").alias(id_col), F.col("cluster_id").alias("rep_id")
+        F.col("clip_id").alias("rid"), F.col("cluster_id").alias("_cc")
+    )
+    if keep == "min_id":
+        # connected_components' label IS the min member id
+        return labels.select(
+            F.col("rid").alias(id_col), F.col("_cc").alias("rep_id")
+        )
+    if keep != "low_centroid_sim":
+        raise ValueError(f"unknown keep policy: {keep!r}")
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _home_sim(vs, lists):  # cosine to the HOME centroid
+        import pandas as pd
+
+        out = []
+        for vec, li in zip(vs, lists):
+            x = np.asarray(vec, dtype=np.float64)
+            n = np.linalg.norm(x)
+            out.append(float(cents[int(li)] @ x / n) if n > 0 else 0.0)
+        return pd.Series(out)
+
+    member = labels.join(v.select("rid", "v", "list_id"), "rid").withColumn(
+        "_sim", _home_sim(F.col("v"), F.col("list_id"))
+    )
+    w = Window.partitionBy("_cc").orderBy(F.asc("_sim"), F.asc("rid"))
+    reps = (
+        member.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_cc"), F.col("rid").alias("rep_id"))
+    )
+    return member.join(reps, "_cc").select(
+        F.col("rid").alias(id_col), "rep_id"
     )
