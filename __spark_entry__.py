@@ -3865,6 +3865,46 @@ FROM corpus a JOIN corpus b
 """
 
 
+def q72_cc_twostar_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components, two-star variant
+    (operators/components.py:connected_components_twostar — Kiveris et
+    al.'s alternating large-star/small-star, O(log^2 n) rounds regardless
+    of graph shape) exercised on the long-chain graph hash-min is worst
+    at: each language's documents ordered by doc_id form one path graph
+    (edge between consecutive ids), so components are exactly the
+    language groups and the oracle is a per-lang min.  Chains here are
+    ~n/5 links — hash-min needs ~chain-length rounds on this shape, the
+    two-star digest-fixpoint loop ~2*log2(n) (the round count is asserted
+    logarithmic in tests/test_components.py)."""
+    from pyspark.sql import Window
+
+    from text_similarity_node_spark.operators.components import (
+        connected_components_twostar,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    edges = (
+        docs.withColumn("nxt", F.lead("doc_id").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("doc_id").alias("id1"), F.col("nxt").alias("id2"))
+    )
+    return connected_components_twostar(edges, max_iterations=40).select(
+        F.col("clip_id").alias("doc_id"), "cluster_id"
+    )
+
+
+_Q72_SQL = """
+WITH g AS (
+  SELECT lang, count(*) AS n, min(doc_id) AS cluster_id
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id AS doc_id, g.cluster_id AS cluster_id
+FROM documents d JOIN g ON d.lang = g.lang
+WHERE g.n >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3948,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_dup_cluster_histogram": q69_dup_cluster_histogram,
         "q70_behavioral_neardup": q70_behavioral_neardup,
         "q71_audio_gain_pairs": q71_audio_gain_pairs,
+        "q72_cc_twostar_chains": q72_cc_twostar_chains,
     }
 
 
@@ -4023,6 +4064,7 @@ def oracle_sql() -> dict[str, str]:
         "q69_dup_cluster_histogram": _Q69_SQL,
         "q70_behavioral_neardup": _Q70_SQL,
         "q71_audio_gain_pairs": _Q71_SQL,
+        "q72_cc_twostar_chains": _Q72_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

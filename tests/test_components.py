@@ -40,3 +40,85 @@ def test_duplicate_and_reversed_edges(spark):
     edges = [("b", "a"), ("a", "b"), ("b", "c"), ("c", "b")]
     labels = _cc(spark, edges)
     assert set(labels.values()) == {"a"}
+
+
+# ---- two-star (Kiveris alternating large/small-star) variant ----
+
+import random
+
+from text_similarity_node_spark.operators.components import (
+    connected_components_twostar,
+)
+
+
+def _cc2(spark, edges):
+    df = spark.createDataFrame(edges, "id1 string, id2 string")
+    out = connected_components_twostar(df)
+    return {r.clip_id: r.cluster_id for r in out.collect()}
+
+
+def _both_agree(spark, edges):
+    a = _cc(spark, edges)
+    b = _cc2(spark, edges)
+    assert a == b, f"hashmin {a} != twostar {b}"
+    return b
+
+
+def test_twostar_matches_hashmin_fixtures(spark):
+    _both_agree(
+        spark,
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),
+            ("e", "f"),
+            ("g", "h"), ("h", "i"), ("g", "i"),
+        ],
+    )
+    _both_agree(spark, [("hub", f"leaf{i}") for i in range(10)])
+    _both_agree(spark, [("b", "a"), ("a", "b"), ("b", "c"), ("c", "b")])
+
+
+def test_twostar_matches_hashmin_random_graph(spark):
+    rng = random.Random(20260818)
+    ids = [f"n{i:03d}" for i in range(120)]
+    edges = [tuple(rng.sample(ids, 2)) for _ in range(150)]
+    labels = _both_agree(spark, edges)
+    # every emitted cluster id is its own cluster's min member
+    import collections
+
+    members = collections.defaultdict(list)
+    for v, c in labels.items():
+        members[c].append(v)
+    for c, vs in members.items():
+        assert min(vs) == c
+
+
+def test_twostar_chain_logarithmic_rounds(spark):
+    # The reason this variant exists: a 64-link drift chain needs hash-min
+    # ~diameter (63) rounds — it cannot even finish inside its default
+    # 50-round budget on this shape — while two-star's distance-halving
+    # converges logarithmically.  Same 10-round budget for both: hash-min
+    # raises, two-star finishes.
+    import pytest
+
+    from text_similarity_node_spark.operators.components import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    ids = [f"v{i:02d}" for i in range(64)]
+    edges = list(zip(ids, ids[1:]))
+    labels = _cc2(spark, edges)
+    assert set(labels.values()) == {"v00"}
+    assert len(labels) == 64
+    assert connected_components_twostar.last_iterations <= 10
+
+    df = spark.createDataFrame(edges, "id1 string, id2 string")
+    with pytest.raises(ConvergenceError):
+        connected_components(df, max_iterations=10).collect()
+
+
+def test_twostar_in_pipeline_config():
+    from text_similarity_node_spark.config import PipelineConfig
+
+    cfg = PipelineConfig(cc_algorithm="twostar")
+    assert cfg.cc_algorithm == "twostar"

@@ -149,3 +149,17 @@ def test_metrics_ledger_written(pipeline_result):
     assert {"signatures", "lsh_candidates", "verified_pairs", "clusters"} <= stages
     # no silent caps: the band audit row exists
     assert any(m.stage == "lsh_band_audit" for m in metrics)
+
+
+def test_twostar_cc_same_clusters(spark, pipeline_result):
+    """cc_algorithm='twostar' is a drop-in: identical cluster assignments
+    to the default hash-min on the same planted corpus."""
+    import dataclasses
+
+    clips, _ = generate_clips(spark, SPEC)
+    cfg2 = dataclasses.replace(CFG, cc_algorithm="twostar", run_id="test_run_ts")
+    with tempfile.TemporaryDirectory() as wh:
+        res = NearDupPipeline(spark, cfg2, wh).run(clips)
+        clusters2 = {r.clip_id: r.cluster_id for r in res.clusters.collect()}
+    _, clusters, _ = pipeline_result
+    assert clusters2 == clusters

@@ -148,6 +148,11 @@ class PipelineConfig:
     # connected components
     cc_max_iterations: int = 50
     cc_checkpoint_every: int = 1
+    # "hashmin" (O(diameter) rounds; cheapest per round — dup clusters are
+    # usually dense + shallow) or "twostar" (Kiveris alternating
+    # large/small-star; O(log^2 n) rounds regardless of shape — pick when
+    # the dup graph may carry long drift chains).
+    cc_algorithm: str = "hashmin"
 
     # execution
     shuffle_partitions: int = 32

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..config import PipelineConfig, Preprocessing
 from ..functions import columns as C
 from ..operators import lsh, minhash, simhash, suffix, verify
-from ..operators.components import connected_components
+from ..operators.components import connected_components, connected_components_twostar
 from ..sources.catalog import ParquetCatalog
 
 
@@ -379,7 +379,12 @@ class NearDupPipeline:
         # every clip inherits its representative's cluster (exact-dup
         # groups with no near-dup links cluster on rep_id).
         def build_clusters():
-            comp = connected_components(
+            cc_fn = (
+                connected_components_twostar
+                if cfg.cc_algorithm == "twostar"
+                else connected_components
+            )
+            comp = cc_fn(
                 verified.select("id1", "id2"),
                 max_iterations=cfg.cc_max_iterations,
                 checkpoint_every=cfg.cc_checkpoint_every,
