@@ -559,6 +559,95 @@ def bench_streaming(n_clips: int = 20_000, n_batches: int = 10):
         spark.stop()
 
 
+def bench_cc(n_chain: int = 100_000, n_clique_nodes: int = 100_000,
+             clique: int = 5, small_chain: int = 64):
+    """Connected-components algorithm evidence, both sides of the tradeoff:
+
+    * path graph (the worst case the two-star variant exists for):
+      two-star measured rounds + wall at ``n_chain`` nodes; hash-min needs
+      ~diameter rounds there, so its cost is EXTRAPOLATED from a measured
+      per-round wall on a ``small_chain``-node path (running it for real
+      would take n_chain rounds).
+    * clique dup-graph (the shape the pipeline actually produces —
+      dense shallow clusters of size ``clique``): both algorithms run for
+      real; hash-min's fewer/cheaper rounds are why it stays the default.
+
+    Prints ONE JSON line."""
+    from pyspark.sql import functions as F
+
+    from text_similarity_node_spark.operators.components import (
+        connected_components,
+        connected_components_twostar,
+    )
+    from text_similarity_node_spark.session import get_spark
+
+    spark = get_spark(app_name="tsn-bench-cc", cores=CPUS,
+                      shuffle_partitions=CPUS)
+    try:
+        def run(fn, edges, **kw):
+            t0 = time.time()
+            n_labels = fn(edges, **kw).count()
+            return round(time.time() - t0, 2), fn.last_iterations, n_labels
+
+        def chain_edges(n):
+            return (
+                spark.range(n - 1)
+                .select(F.col("id").alias("id1"),
+                        (F.col("id") + 1).alias("id2"))
+            )
+
+        ts_wall, ts_rounds, ts_labels = run(
+            connected_components_twostar, chain_edges(n_chain),
+            max_iterations=60,
+        )
+        assert ts_labels == n_chain
+        hm_wall_small, hm_rounds_small, _ = run(
+            connected_components, chain_edges(small_chain),
+            max_iterations=small_chain + 5,
+        )
+        hm_per_round = hm_wall_small / hm_rounds_small
+        hm_extrapolated = round(hm_per_round * (n_chain - 1), 1)
+
+        g = spark.range(n_clique_nodes).select(
+            "id", (F.col("id") / clique).cast("long").alias("g")
+        )
+        cl = (
+            g.alias("a")
+            .join(g.alias("b"), "g")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        )
+        cl = cl.persist()
+        n_edges = cl.count()
+        hm_cl_wall, hm_cl_rounds, hm_cl_labels = run(connected_components, cl)
+        ts_cl_wall, ts_cl_rounds, ts_cl_labels = run(
+            connected_components_twostar, cl
+        )
+        assert hm_cl_labels == ts_cl_labels == n_clique_nodes
+        cl.unpersist()
+
+        print(json.dumps({
+            "metric": "cc_algorithm_evidence",
+            "unit": "sec",
+            "chain": {
+                "nodes": n_chain,
+                "twostar": {"wall_s": ts_wall, "rounds": ts_rounds},
+                "hashmin_extrapolated_s": hm_extrapolated,
+                "hashmin_measured_per_round_s": round(hm_per_round, 3),
+                "hashmin_rounds_needed": n_chain - 1,
+            },
+            "cliques": {
+                "nodes": n_clique_nodes, "clique_size": clique,
+                "edges": n_edges,
+                "hashmin": {"wall_s": hm_cl_wall, "rounds": hm_cl_rounds},
+                "twostar": {"wall_s": ts_cl_wall, "rounds": ts_cl_rounds},
+            },
+            "cores": CPUS,
+        }))
+    finally:
+        spark.stop()
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         i = sys.argv.index("--scaling-child")
@@ -569,5 +658,7 @@ if __name__ == "__main__":
         bench_kernels()
     elif "--streaming" in sys.argv:
         bench_streaming()
+    elif "--cc" in sys.argv:
+        bench_cc()
     else:
         bench_default()

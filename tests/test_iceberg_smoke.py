@@ -1,9 +1,10 @@
 """Iceberg catalog smoke: write/read/resume through a real hadoop catalog.
 
 Runs only when ``TSN_ICEBERG_JARS`` points at the Iceberg Spark runtime
-jar(s).  BLOCKER (round 2, 2026-08-17; re-verified round 3, same day:
-repo1.maven.org still does not resolve, no iceberg*runtime*.jar anywhere
-on the filesystem): this sandbox ships no Iceberg jar
+jar(s).  BLOCKER (round 2, 2026-08-17; re-verified round 3 on 2026-08-17
+and again 2026-08-18: repo1.maven.org still does not resolve, no
+iceberg*runtime*.jar anywhere on the filesystem): this sandbox ships no
+Iceberg jar
 (pyspark's 287 bundled jars contain none — checked) and has no network
 egress (repo1.maven.org does not resolve), so the jar cannot be vendored
 here.  The wiring under test (session.get_spark's TSN_ICEBERG_JARS branch)
