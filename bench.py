@@ -36,6 +36,35 @@ N_CLIPS = int(os.environ.get("SPARK_GRAFT_CLIPS", "60000"))
 WARMUP_CLIPS = 2000
 
 
+def host_health_probe() -> dict:
+    """Calibrate the host so every BENCH json is self-describing.
+
+    This sandbox is a VM whose first-touch page-fault service rate is NOT
+    constant: measured 10.7 GB/s aggregate when healthy and ~70 MB/s
+    during collapse episodes (32-way fault storms convoy in the VMM and
+    stages go ~95% kernel-time).  The same engine code has measured 109 s
+    and 580+ s e2e purely on that ambient axis, so the bench records the
+    host's CPU and fault-service rate alongside the timings: read `value`
+    against `host`, and compare rounds only at comparable host health.
+    Costs ~1.5 s."""
+    import mmap
+
+    t0 = time.time()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    cpu_s = time.time() - t0
+    n = 512 << 20
+    m = mmap.mmap(-1, n)
+    t0 = time.time()
+    for off in range(0, n, 4096):
+        m[off] = 1
+    fault_gbps = n / (time.time() - t0) / 1e9
+    m.close()
+    return {"cpu_loop_s": round(cpu_s, 3),
+            "first_touch_gbps": round(fault_gbps, 2)}
+
+
 def bench_pipeline_config(shuffle_partitions: int, run_id: str,
                           checkpoint_stages: bool = True):
     """5-gram shingles: at ngram 3 the generator vocabulary gives unrelated
@@ -147,6 +176,7 @@ def bench_default():
         "clips_per_sec": round(N_CLIPS / pipe_s, 1),
         "n_clusters": n_clusters,
         "cores": CPUS,
+        "host": host_health_probe(),
     }
     print(json.dumps(out))
     spark.stop()

