@@ -211,7 +211,12 @@ def _scaling_child(cores: int, clips_path: str, warm_path: str,
         )
         times.append(t)
     spark.stop()
-    print(json.dumps({"elapsed": min(times), "passes": times}))
+    # per-level host probe: each level runs minutes apart on a shared
+    # host, so the cross-level ratio is only interpretable when every
+    # level carries its own ambient reading (probe is pinned to the same
+    # CPU mask as the measured job — it reads THIS level's environment)
+    print(json.dumps({"elapsed": min(times), "passes": times,
+                      "host": host_health_probe()}))
 
 
 def bench_scaling(levels=(2, 8, 32)):
@@ -260,11 +265,14 @@ def bench_scaling(levels=(2, 8, 32)):
                 ],
                 capture_output=True, text=True, check=True,
             )
-            elapsed = json.loads(proc.stdout.strip().splitlines()[-1])["elapsed"]
+            child = json.loads(proc.stdout.strip().splitlines()[-1])
+            elapsed = child["elapsed"]
             results[cores] = {
                 "seconds": round(elapsed, 2),
                 "clips": N_CLIPS,
                 "clips_per_sec": round(N_CLIPS / elapsed, 1),
+                "passes": [round(t, 2) for t in child.get("passes", [])],
+                "host": child.get("host"),
             }
     finally:
         shutil.rmtree(clips_dir, ignore_errors=True)
