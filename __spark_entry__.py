@@ -3905,6 +3905,104 @@ WHERE g.n >= 2
 """
 
 
+def q73_tfidf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-weighted Jaccard similarity join — the web-scale cure for
+    boilerplate.  Plain multiset Jaccard (reference kernel #5,
+    token_based.cpp:103-126) lets high-document-frequency tokens both
+    inflate scores between unrelated documents and create the hot LSH
+    bands the salted joins must then absorb; down-weighting by document
+    frequency fixes both at the source (the SpotSigs idea).
+
+    Weight: ``w(doc, tok) = tf * 1_000_000 div df`` — integer
+    micro-scaling, so both engines sum exact BIGINTs in any order (the
+    q06 lesson: no float accumulation, no HUGEINT leak — the one division
+    producing the score is a single double op on two exact integers).
+    Score = weighted Jaccard ``sum_shared min(w_a, w_b) / sum_union
+    max(w_a, w_b)`` with the union-max sum recovered from per-doc totals
+    (``W_a + W_b - sum_shared min``), so only shared tokens ever join.
+    The threshold compare is integer cross-multiplication
+    (``shared*100 >= den*65``) — no float boundary between engines; 0.65 sits
+    in the measured gap between the corpus baseline (template-generated
+    same-lang docs cluster at 0.2-0.5) and the planted near-dup tail.
+
+    Plan shape (same family as q04, the one that scales): explode ->
+    per-(doc,tok) tf (one shuffle, map-side partial agg), df by tok
+    (second partial agg over already-grouped rows), weight join on tok,
+    inverted-index self-join on (tok, lang) with partial-aggregated
+    per-pair sums, then two joins against the doc-total table.  At 10^12
+    rows the pair generation runs over LSH candidates instead (the
+    q16/q37 shape) and the df table doubles as the stop-shingle
+    statistic; nothing here is driver-side."""
+    toks = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(C.word_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(df_, "tok").select(
+        "doc_id", "lang", "tok", F.expr("tf * CAST(1000000 AS BIGINT) div df").alias("w")
+    )
+    # Four consumers (two self-join sides, two total sides): persist so the
+    # tokenize->tf->df subtree runs once, not four times (the q70 pattern).
+    w = w.persist()
+    tot = w.groupBy("doc_id").agg(F.sum("w").alias("total"))
+    a, b = w.alias("a"), w.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2")
+        )
+        .agg(F.sum(F.least(F.col("a.w"), F.col("b.w"))).alias("shared"))
+    )
+    ta = tot.select(F.col("doc_id").alias("doc_id1"), F.col("total").alias("ta"))
+    tb = tot.select(F.col("doc_id").alias("doc_id2"), F.col("total").alias("tb"))
+    den = F.col("ta") + F.col("tb") - F.col("shared")
+    return (
+        shared.join(ta, "doc_id1")
+        .join(tb, "doc_id2")
+        .filter(F.col("shared") * 100 >= den * 65)
+        .select(
+            "doc_id1",
+            "doc_id2",
+            F.round(F.col("shared").cast("double") / den, 6).alias("tfidf_jaccard"),
+        )
+    )
+
+
+_Q73_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(text, '\w+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, tok, count(*)::BIGINT AS tf
+  FROM tok GROUP BY doc_id, lang, tok
+),
+df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok),
+w AS (
+  SELECT tf.doc_id, tf.lang, tf.tok, (tf.tf * 1000000) // df.df AS w
+  FROM tf JOIN df USING (tok)
+),
+tot AS (SELECT doc_id, sum(w)::BIGINT AS total FROM w GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+         sum(least(a.w, b.w))::BIGINT AS shared
+  FROM w a JOIN w b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id1, doc_id2,
+       round(shared::DOUBLE / (ta.total + tb.total - shared), 6) AS tfidf_jaccard
+FROM shared
+JOIN tot ta ON ta.doc_id = shared.doc_id1
+JOIN tot tb ON tb.doc_id = shared.doc_id2
+WHERE shared * 100 >= (ta.total + tb.total - shared) * 65
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -3989,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_behavioral_neardup": q70_behavioral_neardup,
         "q71_audio_gain_pairs": q71_audio_gain_pairs,
         "q72_cc_twostar_chains": q72_cc_twostar_chains,
+        "q73_tfidf_weighted_jaccard": q73_tfidf_weighted_jaccard,
     }
 
 
@@ -4065,6 +4164,7 @@ def oracle_sql() -> dict[str, str]:
         "q70_behavioral_neardup": _Q70_SQL,
         "q71_audio_gain_pairs": _Q71_SQL,
         "q72_cc_twostar_chains": _Q72_SQL,
+        "q73_tfidf_weighted_jaccard": _Q73_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
