@@ -4003,6 +4003,89 @@ WHERE shared * 100 >= (ta.total + tb.total - shared) * 65
 """
 
 
+def q74_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-lang bottom-k sample (operators/
+    text_analysis.stratified_bottom_k): the 20 docs per lang whose
+    md5('r3s' || doc_id) sorts lowest.  The audit-pass sampler a 100-TB
+    corpus needs: uniform within stratum, reproducible across runs AND
+    engines (the rank key is a content hash both engines compute
+    identically), and mergeable — Spark plans the rank<=k filter as a
+    WindowGroupLimit, so map tasks keep local bottom-k BEFORE the
+    shuffle and the exchange carries O(k x strata) rows, not the corpus
+    (pinned in tests/test_sampling.py).  The reference has no sampling
+    surface (pairwise kernels only); this is the pipeline machinery
+    around it."""
+    from text_similarity_node_spark.operators.text_analysis import (
+        stratified_bottom_k,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_bottom_k(docs, ["lang"], "doc_id", k=20, salt="r3s")
+
+
+_Q74_SQL = """
+SELECT doc_id, lang, rk AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('r3s' || doc_id::VARCHAR), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+def q75_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture rebalancing (operators/text_analysis.
+    mixture_rebalance, the DoReMi/data-mixing stage): target shares
+    en/de/fr/es = 250 permille each, zh absent (target 0 -> dropped).
+    keep_frac(g) = min(1, target * N_total / N_g) from MEASURED counts,
+    carried in exact BIGINT arithmetic end-to-end; membership is a
+    6-hex-char lexicographic threshold on md5('r3m' || doc_id) — the
+    dialect-portable hash_split rule, so the oracle states the identical
+    computation.  On this corpus en (218/500) is over target and gets
+    partially kept, de/fr/es are under target and hit the keep-all
+    sentinel ('g' > every hex char), zh exercises the drop path.  Plan:
+    one tiny groupBy (5 rows) broadcast back; the documents scan is
+    touched map-side only."""
+    from text_similarity_node_spark.operators.text_analysis import (
+        mixture_rebalance,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    targets = {"en": 250, "de": 250, "fr": 250, "es": 250}
+    kept, _thr = mixture_rebalance(docs, "lang", "doc_id", targets, salt="r3m")
+    return kept.select("doc_id", "lang")
+
+
+_Q75_SQL = """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_rows FROM documents GROUP BY lang),
+t AS (SELECT sum(n_rows)::BIGINT AS n_total FROM c),
+m(lang, target_milli) AS (
+  VALUES ('en', 250::BIGINT), ('de', 250::BIGINT),
+         ('fr', 250::BIGINT), ('es', 250::BIGINT)
+),
+thr AS (
+  SELECT c.lang,
+         least(1000000::BIGINT,
+               (1000::BIGINT * coalesce(m.target_milli, 0) * t.n_total)
+               // c.n_rows) AS keep_micro
+  FROM c CROSS JOIN t LEFT JOIN m USING (lang)
+),
+thr2 AS (
+  SELECT lang,
+         CASE WHEN keep_micro >= 1000000 THEN 'g'
+              ELSE lpad(lower(format('{:x}',
+                       (keep_micro * 16777216::BIGINT) // 1000000)), 6, '0')
+         END AS thr_hex
+  FROM thr
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr2 USING (lang)
+WHERE substring(md5('r3m' || d.doc_id::VARCHAR), 1, 6) < thr_hex
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4088,6 +4171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_audio_gain_pairs": q71_audio_gain_pairs,
         "q72_cc_twostar_chains": q72_cc_twostar_chains,
         "q73_tfidf_weighted_jaccard": q73_tfidf_weighted_jaccard,
+        "q74_stratified_sample": q74_stratified_sample,
+        "q75_mixture_rebalance": q75_mixture_rebalance,
     }
 
 
@@ -4165,6 +4250,8 @@ def oracle_sql() -> dict[str, str]:
         "q71_audio_gain_pairs": _Q71_SQL,
         "q72_cc_twostar_chains": _Q72_SQL,
         "q73_tfidf_weighted_jaccard": _Q73_SQL,
+        "q74_stratified_sample": _Q74_SQL,
+        "q75_mixture_rebalance": _Q75_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -164,3 +164,128 @@ def repetition_stats(tokens: Column) -> tuple[Column, Column]:
     total = F.size(tokens)
     nd = F.size(F.array_distinct(tokens))
     return micro_frac(total - nd, total), total
+
+
+def stratified_bottom_k(
+    df,
+    strata_cols: list[str],
+    id_col: str,
+    k: int,
+    salt: str = "",
+):
+    """Deterministic per-stratum uniform sample: keep the ``k`` rows whose
+    ``md5(salt || id)`` sorts lowest within each stratum (a bottom-k
+    sketch).  Because the rank key is a content hash, the sample is (a)
+    uniform within the stratum, (b) reproducible across runs and engines,
+    and (c) mergeable — the bottom-k of a union is computable from the
+    bottom-k of the parts, which is exactly what Spark exploits at scale:
+    the ``row_number() <= k`` filter is rewritten to a WindowGroupLimit,
+    so every map task keeps only its local bottom-k BEFORE the shuffle
+    and the exchange carries O(k × strata), not the corpus
+    (tests/test_sampling.py pins the WindowGroupLimit node in the plan).
+    The reference has no sampling surface (single-pair kernels,
+    /root/reference/src/similarity.cpp); this is pipeline machinery a
+    100-TB corpus needs before any expensive audit pass.
+
+    Returns ``df``'s rows (plus ``sample_rank``) for the kept sample.
+    Ties on the full md5 of distinct ids are not a practical concern, but
+    ``id_col`` is appended to the ordering so the rule is total anyway.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in strata_cols])
+        .orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def mixture_rebalance(
+    df,
+    group_col: str,
+    id_col: str,
+    target_milli: dict[str, int],
+    salt: str = "",
+):
+    """Corpus mixture rebalancing (the DoReMi/data-mixing stage): given
+    target corpus shares per group in permille, compute each group's keep
+    fraction from its MEASURED count and keep a deterministic
+    hash-thresholded subset, so the surviving corpus approaches the
+    target mixture without ever exceeding any group's population.
+
+    keep_frac(g) = min(1, (target_milli[g]/1000) * N_total / N_g),
+    carried end-to-end in exact BIGINT arithmetic:
+
+        keep_micro = least(1_000_000, 1000 * target_milli * N_total // N_g)
+        thr_24bit  = keep_micro * 16_777_216 // 1_000_000
+        keep row   iff substring(md5(salt || id), 1, 6) < lpad(hex(thr), 6)
+
+    The lexicographic compare on fixed-width lowercase hex is the same
+    dialect-portable rule as ``hash_split`` — no engine-specific
+    hex→int conversion anywhere, so the DuckDB oracle states the
+    identical rule.  Intermediates stay under 2^63 for corpora up to
+    ~9×10^12 rows (1000 × 1000 × N_total).  Like hash_split, membership
+    is content-stable per row GIVEN the per-group thresholds; the
+    thresholds themselves come from one tiny groupBy (|groups| rows)
+    that joins back broadcast — the big table is touched map-side only.
+
+    Groups missing from ``target_milli`` get target 0 (dropped).
+    Returns (kept_df, thresholds_df) — thresholds carry
+    (group, n_rows, keep_micro) for lineage/metrics.
+    """
+    # |groups| rows; persisted so n_total doesn't re-scan the big table
+    # (unpersisted, counts.agg() would recompute the whole aggregation)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows")).persist()
+    total = counts.agg(F.sum("n_rows").alias("n_total"))
+    tgt = F.create_map(
+        *[x for kv in target_milli.items() for x in (F.lit(kv[0]), F.lit(int(kv[1])))]
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("target_milli", F.coalesce(tgt[F.col(group_col)], F.lit(0)))
+        .withColumn(
+            "keep_micro",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                # BIGINT floor division (`div`), NOT `/` (which is DOUBLE
+                # division in Spark and loses exactness above 2^53)
+                F.expr(
+                    "(CAST(1000 AS BIGINT) * target_milli * n_total) div n_rows"
+                ),
+            ).cast("long"),
+        )
+        .withColumn(
+            "thr_hex",
+            # keep_micro == 1e6 means keep-all; its threshold (16^6) is 7
+            # hex digits and 'g' sorts after every hex char, so "g" is the
+            # exact keep-all sentinel under the 6-char lexicographic rule
+            F.when(F.col("keep_micro") >= 1_000_000, F.lit("g")).otherwise(
+                F.lpad(
+                    F.lower(
+                        F.hex(
+                            F.expr(
+                                "(keep_micro * CAST(16777216 AS BIGINT)) div 1000000"
+                            )
+                        )
+                    ),
+                    6,
+                    "0",
+                )
+            ),
+        )
+    )
+    kept = (
+        df.join(F.broadcast(thr.select(group_col, "thr_hex")), group_col)
+        .filter(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 6
+            )
+            < F.col("thr_hex")
+        )
+        .drop("thr_hex")
+    )
+    return kept, thr.select(group_col, "n_rows", "keep_micro")
