@@ -4086,6 +4086,74 @@ WHERE substring(md5('r3m' || d.doc_id::VARCHAR), 1, 6) < thr_hex
 """
 
 
+def q76_wminhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable recall audit for the WEIGHTED-MinHash (ICWS) LSH
+    path — the scale-shaped candidate generator for q73's TF-IDF-weighted
+    Jaccard metric.  Plain MinHash samples distinct tokens uniformly and
+    is blind to weights; ICWS (operators/weighted_minhash.py, Ioffe 2010)
+    gives P(slot agree) = J_w exactly, so the S-curve transfers: at b=32
+    bands of r=2 rows, a truth pair (J_w >= 0.65) is missed with
+    probability (1 - 0.65^2)^32 ~= 2e-8 — deterministic hashes, fixed
+    corpus, so n_missed = 0 is an assertable oracle row (the q31/q35
+    pattern).  Ground truth = q73's exact scored pairs; candidates run
+    the PRODUCTION shape: ICWS signatures -> exploded bands -> the
+    salted/capped skew-aware join (lsh.candidate_pairs).  Emits one row
+    (n_truth, n_missed)."""
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators import lsh, minhash
+    from text_similarity_node_spark.operators.weighted_minhash import (
+        with_weighted_minhash,
+    )
+
+    cfg = PipelineConfig(
+        minhash_k=64, lsh_bands=32, lsh_rows=2,
+        hot_band_threshold=500, salt_buckets=8,
+    )
+    truth = (
+        q73_tfidf_weighted_jaccard(spark, sf_dir)
+        .select(F.col("doc_id1").alias("id1"), F.col("doc_id2").alias("id2"))
+        .persist()
+    )
+    # the same integer micro-weight table as q73, grouped to per-doc
+    # aligned (tokens, weights) arrays — JVM transform, order-free (ICWS
+    # is an argmin over tokens)
+    toks = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(C.word_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(df_, "tok").select(
+        "doc_id", "tok", F.expr("tf * CAST(1000000 AS BIGINT) div df").alias("w")
+    )
+    docs = (
+        w.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("tok", "w")).alias("tw"))
+        .select(
+            "doc_id",
+            F.transform("tw", lambda x: x["tok"]).alias("tokens"),
+            F.transform("tw", lambda x: x["w"]).alias("weights"),
+        )
+    )
+    sig = with_weighted_minhash(docs, "tokens", "weights", k=64, seed=99)
+    bands = minhash.explode_bands(
+        sig.select("doc_id", "wminhash"), "doc_id", "wminhash", cfg
+    )
+    cand, _metrics = lsh.candidate_pairs(bands, cfg, id_col="doc_id")
+    found = truth.join(cand.select("id1", "id2"), ["id1", "id2"], "left_semi")
+    return truth.agg(F.count(F.lit(1)).alias("n_truth")).crossJoin(
+        found.agg(F.count(F.lit(1)).alias("_nf"))
+    ).select(
+        "n_truth", (F.col("n_truth") - F.col("_nf")).alias("n_missed")
+    )
+
+
+_Q76_SQL = (
+    "SELECT count(*)::BIGINT AS n_truth, 0::BIGINT AS n_missed FROM ("
+    + _Q73_SQL
+    + ")"
+)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4173,6 +4241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_tfidf_weighted_jaccard": q73_tfidf_weighted_jaccard,
         "q74_stratified_sample": q74_stratified_sample,
         "q75_mixture_rebalance": q75_mixture_rebalance,
+        "q76_wminhash_recall_audit": q76_wminhash_recall_audit,
     }
 
 
@@ -4252,6 +4321,7 @@ def oracle_sql() -> dict[str, str]:
         "q73_tfidf_weighted_jaccard": _Q73_SQL,
         "q74_stratified_sample": _Q74_SQL,
         "q75_mixture_rebalance": _Q75_SQL,
+        "q76_wminhash_recall_audit": _Q76_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
