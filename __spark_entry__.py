@@ -4154,6 +4154,62 @@ _Q76_SQL = (
 )
 
 
+def q77_percentile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MERGEABLE percentile path — the
+    q64-for-quantiles.  q66 computes exact per-lang length quartiles,
+    which at 100 TB needs a per-group sort; the scale path is Spark's
+    Greenwald-Khanna sketch (percentile_approx, accuracy=100 -> rank
+    error eps = 1/100), which is map-side combinable and merges across
+    partitions/executors like any partial aggregate.  This audit
+    certifies the sketch against its published contract: for q in
+    {0.5, 0.99}, the RANK of the returned value (count of lengths <=
+    approx, one distributed agg — no collect, no sort) must lie within
+    floor(eps*n)+1 of the target rank ceil(q*n).  The raw sketch output
+    can shift with partitioning (merge order), so the hashed row is the
+    VERDICT, not the value: the contract bound holds for ANY valid GK
+    state, which makes the row stable under re-planning — the exact
+    trick that made q64's HLL audit driver-hashable.  Oracle asserts
+    the verdicts TRUE with exact n from SQL."""
+    lens = _load(spark, sf_dir, "documents").select(
+        "lang", F.length("text").alias("L")
+    )
+    sk = lens.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("L", 0.5, 100).alias("_p50"),
+        F.percentile_approx("L", 0.99, 100).alias("_p99"),
+    )
+    ranks = (
+        lens.join(F.broadcast(sk), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("L") <= F.col("_p50"), 1).otherwise(0)).alias("_r50"),
+            F.sum(F.when(F.col("L") <= F.col("_p99"), 1).otherwise(0)).alias("_r99"),
+        )
+    )
+
+    def _ok(rank_col: str, q: float):
+        target = F.ceil(F.col("n_docs") * q)
+        slack = F.floor(F.col("n_docs") * 0.01) + 1
+        return F.abs(F.col(rank_col) - target) <= slack
+
+    return (
+        sk.join(ranks, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            _ok("_r50", 0.5).alias("p50_within_contract"),
+            _ok("_r99", 0.99).alias("p99_within_contract"),
+        )
+    )
+
+
+_Q77_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       TRUE AS p50_within_contract, TRUE AS p99_within_contract
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4242,6 +4298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_stratified_sample": q74_stratified_sample,
         "q75_mixture_rebalance": q75_mixture_rebalance,
         "q76_wminhash_recall_audit": q76_wminhash_recall_audit,
+        "q77_percentile_sketch_audit": q77_percentile_sketch_audit,
     }
 
 
@@ -4322,6 +4379,7 @@ def oracle_sql() -> dict[str, str]:
         "q74_stratified_sample": _Q74_SQL,
         "q75_mixture_rebalance": _Q75_SQL,
         "q76_wminhash_recall_audit": _Q76_SQL,
+        "q77_percentile_sketch_audit": _Q77_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
