@@ -151,6 +151,9 @@ def bench_default():
             qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         queries[name] = round(best, 3)
+        # progress to stderr so a wall-clock cap mid-run still shows
+        # which entry was live and what each one cost (no silent hangs)
+        print(f"[bench] {name}: {best:.1f}s", file=sys.stderr, flush=True)
 
     clips_dir = tempfile.mkdtemp(prefix="tsn_bench_clips_")
     clips_path = os.path.join(clips_dir, "clips.parquet")
@@ -161,6 +164,8 @@ def bench_default():
             spark.catalog.clearCache()
             t, n_clusters = run_pipeline(spark, clips_path, CPUS, f"bench_{p}")
             pipe_s = min(pipe_s, t)
+            print(f"[bench] neardup_pipeline pass {p}: {t:.1f}s",
+                  file=sys.stderr, flush=True)
     finally:
         shutil.rmtree(clips_dir, ignore_errors=True)
     queries["neardup_pipeline"] = round(pipe_s, 3)
