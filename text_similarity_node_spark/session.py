@@ -20,18 +20,18 @@ from pyspark.sql import SparkSession
 
 
 def _jvm_fault_opts() -> str:
-    """Driver-JVM options that stabilize the committed heap (see inline
-    comment at the call site).  ``TSN_JVM_XMS`` sizes the committed floor
-    (default 8g — covers the bench working set; the 24g -Xmx headroom
-    above it still grows lazily); ``TSN_JVM_XMS=0`` turns the whole block
-    off.  Pages below the floor fault at most once per JVM lifetime (G1
-    never uncommits below -Xms); THP madvise cuts the guest fault count
-    512x on top (measured 1.15 -> 1.9 GB/s first-touch here).
-    -XX:+AlwaysPreTouch was measured and rejected: paying the whole floor
-    as one bulk fault storm at startup ran at the *collapsed* fault-service
-    rate (8 GiB took 190 s); lazy faulting spreads the same cost thinly
-    enough to stay on the fast path."""
-    xms = os.environ.get("TSN_JVM_XMS", "8g")
+    """OPT-IN (``TSN_JVM_XMS=<size>``; default off) committed-heap floor +
+    THP madvise for the driver JVM.  Measured and REJECTED as a default on
+    this host: with ``-Xms8g -XX:+UseTransparentHugePages`` the lazy walk
+    over the committed floor lands *inside the first shuffle-heavy stage*
+    and serializes at the collapsed fault-service rate — q03 went 5 s ->
+    258 s+, with 97% system CPU and thp_fault_alloc advancing at ~80 MB/s
+    while user CPU sat near zero.  The idea (pay first-touch once, avoid
+    G1 grow/uncommit re-faulting) only helps when the fault path is fast;
+    on this virtualized host the fault path IS the bottleneck, so forcing
+    an 8 GiB heap walk per session multiplies the damage.  Kept as an env
+    knob for A/B on hosts where first-touch is cheap."""
+    xms = os.environ.get("TSN_JVM_XMS", "0")
     if xms == "0":
         return ""
     return f"-Xms{xms} -XX:+UseTransparentHugePages"
@@ -97,16 +97,8 @@ def get_spark(
             "spark.python.unix.domain.socket.enabled",
             "false" if os.environ.get("TSN_WORKER_UDS", "1") == "0" else "true",
         )
-        # Commit the heap once, in huge pages, at startup.  On virtualized
-        # hosts (this sandbox is a Firecracker microVM; a cloud executor is
-        # a VM too) first-touch page faults exit to the VMM, and 32 task
-        # threads faulting concurrently convoy on the VMM's memory-map
-        # lock: measured here, aggregate first-touch throughput collapses
-        # from 10.7 GB/s (idle) to ~70 MB/s (32-way fault storm), turning
-        # shuffle/UDF stages ~95% kernel-time.  G1's grow->uncommit->regrow
-        # cycle re-pays that storm every stage; -Xms + AlwaysPreTouch pays
-        # it once at session start (untimed), and THP madvise cuts the
-        # guest fault count 512x.  TSN_JVM_XMS=0 disables for A/B.
+        # Committed-heap floor + THP: opt-in only (TSN_JVM_XMS=<size>);
+        # measured harmful as a default on this host — see _jvm_fault_opts.
         .config("spark.driver.extraJavaOptions", _jvm_fault_opts())
     )
     iceberg_jars = os.environ.get("TSN_ICEBERG_JARS")
