@@ -4210,6 +4210,58 @@ FROM documents GROUP BY lang
 """
 
 
+def q78_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (operators/
+    text_analysis.sequence_packing): per lang, documents concatenate in
+    doc_id order and slice into 512-token training contexts; per
+    (lang, pack_id) report docs starting in the pack, their token mass,
+    and how many straddle a slice boundary — the padding-free packing
+    accounting a batch-writer emits.  Token counts are the q06 word rule
+    (ASCII \\b\\w+\\b), so both engines count identically.  Plan: one
+    scan, one exchange (hash by lang for the running sum), groupBy reuses
+    the window's clustering; at 100 TB the group key becomes
+    (lang, shard) and the sequential window parallelizes per shard (see
+    the operator docstring).  The reference has no packing surface; this
+    is pipeline machinery around its kernels."""
+    from text_similarity_node_spark.operators.text_analysis import (
+        sequence_packing,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        sequence_packing(
+            docs,
+            ["lang"],
+            "doc_id",
+            F.size(C.word_tokens(F.col("text"))),
+            budget=512,
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+_Q78_SQL = """
+WITH spans AS (
+  SELECT lang, doc_id,
+         len(regexp_extract_all(text, '\\w+'))::BIGINT AS n_tok,
+         sum(len(regexp_extract_all(text, '\\w+'))::BIGINT) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum_end
+  FROM documents
+)
+SELECT lang,
+       ((cum_end - n_tok) // 512)::BIGINT AS pack_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       sum(CASE WHEN ((cum_end - 1) // 512) > ((cum_end - n_tok) // 512)
+                THEN 1 ELSE 0 END)::BIGINT AS n_straddlers
+FROM spans
+GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4299,6 +4351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_mixture_rebalance": q75_mixture_rebalance,
         "q76_wminhash_recall_audit": q76_wminhash_recall_audit,
         "q77_percentile_sketch_audit": q77_percentile_sketch_audit,
+        "q78_sequence_packing": q78_sequence_packing,
     }
 
 
@@ -4380,6 +4433,7 @@ def oracle_sql() -> dict[str, str]:
         "q75_mixture_rebalance": _Q75_SQL,
         "q76_wminhash_recall_audit": _Q76_SQL,
         "q77_percentile_sketch_audit": _Q77_SQL,
+        "q78_sequence_packing": _Q78_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -117,3 +117,56 @@ def test_mixture_rebalance_big_table_map_side_only(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_accounting(spark):
+    # hand-computable corpus: one group, budget 10, token counts chosen to
+    # exercise exact-fit, straddle, and multi-pack-straddle paths
+    #   doc 0: 4 tok  -> spans [0,4)   pack 0
+    #   doc 1: 6 tok  -> spans [4,10)  pack 0 (exact fit, NOT a straddler)
+    #   doc 2: 3 tok  -> spans [10,13) pack 1
+    #   doc 3: 25 tok -> spans [13,38) pack 1, straddles into packs 2-3
+    #   doc 4: 2 tok  -> spans [38,40) pack 3 (exact end)
+    from text_similarity_node_spark.operators.text_analysis import (
+        sequence_packing,
+    )
+
+    rows = [(0, 4), (1, 6), (2, 3), (3, 25), (4, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").withColumn(
+        "g", F.lit("en")
+    )
+    out = sequence_packing(df, ["g"], "doc_id", F.col("n"), budget=10)
+    got = {
+        (r.g, r.pack_id): (r.n_docs, r.n_tokens, r.n_straddlers)
+        for r in out.collect()
+    }
+    assert got == {
+        ("en", 0): (2, 10, 0),
+        ("en", 1): (2, 28, 1),
+        ("en", 3): (1, 2, 0),
+    }
+
+
+def test_sequence_packing_groups_independent(spark):
+    from text_similarity_node_spark.operators.text_analysis import (
+        sequence_packing,
+    )
+
+    rows = [(i, 7, "en" if i % 2 else "de") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n long, g string")
+    out = sequence_packing(df, ["g"], "doc_id", F.col("n"), budget=16)
+    # each group: 20 docs x 7 tok = 140 tokens -> packs 0..8; totals conserved
+    per_g = (
+        out.groupBy("g")
+        .agg(F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    assert {(r.g, r.d, r.t) for r in per_g} == {("en", 20, 140), ("de", 20, 140)}
+    # sharding the group key parallelizes without changing in-shard packing:
+    # (g, shard) packing of shard-disjoint docs == per-shard packing of each
+    sharded = df.withColumn("shard", (F.col("doc_id") % 4).cast("long"))
+    out2 = sequence_packing(
+        sharded, ["g", "shard"], "doc_id", F.col("n"), budget=16
+    )
+    tot = out2.agg(F.sum("n_docs"), F.sum("n_tokens")).collect()[0]
+    assert (tot[0], tot[1]) == (40, 280)

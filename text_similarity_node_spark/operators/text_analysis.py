@@ -8,7 +8,7 @@ and SQL-expressible for the oracle gate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # marker words per language, fixed order = deterministic tie-break priority
@@ -289,3 +289,57 @@ def mixture_rebalance(
         .drop("thr_hex")
     )
     return kept, thr.select(group_col, "n_rows", "keep_micro")
+
+
+def sequence_packing(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    tokens_count: Column,
+    budget: int,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing stats: documents are
+    concatenated in deterministic ``id_col`` order within each group and
+    sliced into fixed ``budget``-token training contexts; a document whose
+    token span crosses a slice boundary straddles into the next pack(s).
+
+    Returns one row per (group, pack_id) with the docs that START in the
+    pack (``n_docs``), their total token mass (``n_tokens``), and how many
+    of them straddle a boundary (``n_straddlers``) — the padding-free
+    packing accounting a training-data pipeline reports before writing
+    batches.
+
+    Scale: the in-group running sum is inherently sequential, so this
+    exact shape shards to ONE task per group.  At 100 TB you pack per
+    (group, shard) instead — pack boundaries need not be globally
+    contiguous across shards, only within a shard — which turns the
+    window into embarrassingly parallel per-shard windows; the group_cols
+    list is the hook (pass e.g. ["lang", "shard"]).  Everything is
+    JVM-side: one scan, one hash-partition by group for the window, one
+    partial-agg groupBy on the same key (no second exchange: the window
+    already clustered the data).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(id_col)
+    spans = df.select(
+        *group_cols,
+        F.col(id_col),
+        tokens_count.cast("long").alias("n_tok"),
+    ).withColumn("cum_end", F.sum("n_tok").over(w))
+    spans = spans.withColumn("cum_start", F.col("cum_end") - F.col("n_tok"))
+    # `div` = exact int64 division (a double round-trip would lose
+    # exactness once cumulative token counts pass 2^53 at corpus scale)
+    b = int(budget)
+    spans = spans.withColumn(
+        "pack_id", F.expr(f"cum_start div {b}")
+    ).withColumn(
+        # pack of the doc's LAST token; > pack_id means it straddles
+        "pack_last",
+        F.expr(f"(cum_end - 1) div {b}"),
+    )
+    return spans.groupBy(*group_cols, "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("pack_last") > F.col("pack_id"), 1).otherwise(0)
+        ).alias("n_straddlers"),
+    )
