@@ -4262,6 +4262,67 @@ ORDER BY lang, pack_id
 """
 
 
+def q79_audio_zcr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio feature extraction through the binary-payload path:
+    zero-crossing count and int16 peak of the q27 analytic sine payloads
+    (operators/audio.zcr_count_udf / peak_abs_udf), plus the ZCR-implied
+    dominant-frequency estimate in milli-Hz (exact integer arithmetic:
+    zcr * sr * 1000 div (2 * (n-1))).  ZCR uses the strict
+    sign-product-negative rule so the DuckDB oracle can restate the count
+    over the identical truncated-int16 samples — a real DSP feature with
+    a bit-exact cross-engine contract.  Scale: like q27, payloads are
+    derived and consumed inside one stage (never shuffled); the UDFs are
+    Arrow-batched.  Reference ground: the reference has no audio surface;
+    this extends its fingerprint/verify semantics (q32) with the feature
+    stage a training pipeline runs before filtering."""
+    from text_similarity_node_spark.operators.audio import (
+        peak_abs_udf,
+        synth_sine_pcm_udf as synth,
+        zcr_count_udf,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    clips = docs.select("doc_id", synth(F.col("doc_id")).alias("bytes"))
+    feats = clips.select(
+        "doc_id",
+        (F.length("bytes") / 2).cast("long").alias("n_samples"),
+        zcr_count_udf(F.col("bytes")).alias("zcr"),
+        peak_abs_udf(F.col("bytes")).alias("peak"),
+    )
+    return feats.withColumn(
+        "est_freq_mhz",
+        F.expr("(zcr * 16000 * 1000) div (2 * (n_samples - 1))"),
+    ).orderBy("doc_id")
+
+
+_Q79_SQL = """
+WITH samp AS (
+  SELECT d.doc_id, i,
+         trunc(16384.0 * sin(2 * pi() * (100 + d.doc_id % 400) * i / 16000.0))::BIGINT AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, 799)) AS i)
+), lagged AS (
+  SELECT doc_id, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM samp WHERE v <> 0
+), zc AS (
+  SELECT doc_id,
+         sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END)::BIGINT AS zcr
+  FROM lagged GROUP BY doc_id
+), feats AS (
+  SELECT s.doc_id,
+         count(*)::BIGINT AS n_samples,
+         max(abs(s.v))::BIGINT AS peak,
+         any_value(zc.zcr) AS zcr
+  FROM samp s JOIN zc ON s.doc_id = zc.doc_id
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_samples, zcr, peak,
+       ((zcr * 16000 * 1000) // (2 * (n_samples - 1)))::BIGINT AS est_freq_mhz
+FROM feats ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4352,6 +4413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_wminhash_recall_audit": q76_wminhash_recall_audit,
         "q77_percentile_sketch_audit": q77_percentile_sketch_audit,
         "q78_sequence_packing": q78_sequence_packing,
+        "q79_audio_zcr_features": q79_audio_zcr_features,
     }
 
 
@@ -4434,6 +4496,7 @@ def oracle_sql() -> dict[str, str]:
         "q76_wminhash_recall_audit": _Q76_SQL,
         "q77_percentile_sketch_audit": _Q77_SQL,
         "q78_sequence_packing": _Q78_SQL,
+        "q79_audio_zcr_features": _Q79_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

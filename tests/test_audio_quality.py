@@ -66,3 +66,36 @@ def test_planted_regimes_separate(spark):
     assert by_id[59].n_silent >= 400 and by_id[59].n_clipped > 50
     for r in m:
         assert r.n_samples == 800
+
+
+def test_zcr_and_peak_udfs(spark):
+    import numpy as np
+
+    from text_similarity_node_spark.operators.audio import (
+        peak_abs_udf,
+        zcr_count_udf,
+    )
+
+    # hand-built int16 streams: zeros are dropped before pairing, so a
+    # crossing that passes THROUGH a zero sample counts once —
+    # [1,-1,0,-2,3] -> [1,-1,-2,3]: crossings (1,-1),(-2,3); [2,0,-2] -> 1
+    hand = np.array([1, -1, 0, -2, 3], dtype="<i2").tobytes()
+    through_zero = np.array([2, 0, -2], dtype="<i2").tobytes()
+    # analytic check: a k-cycle sine over n samples crosses zero ~2k times
+    # (300 Hz lands exact zeros every 80 samples — the case the
+    # drop-zeros rule exists for)
+    t = np.arange(800) / 16000.0
+    sine = (np.sin(2 * np.pi * 300.0 * t) * 16384.0).astype("<i2").tobytes()
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": [0, 1, 2], "b": [hand, through_zero, sine]})
+    ).select(
+        "i",
+        zcr_count_udf(F.col("b")).alias("z"),
+        peak_abs_udf(F.col("b")).alias("p"),
+    )
+    rows = {r.i: r for r in df.collect()}
+    assert rows[0].z == 2 and rows[0].p == 3
+    assert rows[1].z == 1 and rows[1].p == 2
+    # 15 cycles -> 29-30 crossings
+    assert 28 <= rows[2].z <= 30
+    assert 16000 <= rows[2].p <= 16384

@@ -73,6 +73,37 @@ def rms_energy_udf(payload: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.LongType())
+def zcr_count_udf(payload: pd.Series) -> pd.Series:
+    """Arrow-batched zero-crossing count of a pcm_s16le payload: drop the
+    exactly-zero samples, then count adjacent pairs with negative product.
+    Dropping zeros first is the standard robust ZCR — a crossing that
+    passes THROUGH a zero sample still counts once — and it keeps the
+    rule SQL-restatable over the identical integers (filter v <> 0, lag,
+    product < 0): no sign(0) convention for engines to disagree on."""
+    out = np.empty(len(payload), dtype=np.int64)
+    for i, b in enumerate(payload):
+        if b is None or len(b) < 4:
+            out[i] = 0
+        else:
+            x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+            x = x[x != 0]
+            out[i] = int(np.count_nonzero(x[:-1] * x[1:] < 0)) if len(x) > 1 else 0
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def peak_abs_udf(payload: pd.Series) -> pd.Series:
+    """Arrow-batched peak |sample| (int16 domain) of a pcm_s16le payload."""
+    out = np.empty(len(payload), dtype=np.int64)
+    for i, b in enumerate(payload):
+        if b is None or len(b) < 2:
+            out[i] = 0
+        else:
+            out[i] = int(np.max(np.abs(np.frombuffer(b, dtype="<i2").astype(np.int64))))
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.DoubleType())
 def pairwise_snr_udf(ref_bytes: pd.Series, test_bytes: pd.Series) -> pd.Series:
     """SNR (dB) of test vs ref payloads — the fidelity verifier."""
