@@ -1,8 +1,8 @@
 """Iceberg catalog smoke: write/read/resume through a real hadoop catalog.
 
 Runs only when ``TSN_ICEBERG_JARS`` points at the Iceberg Spark runtime
-jar(s).  BLOCKER (round 2, 2026-08-17; re-verified round 3 on 2026-08-17
-and again 2026-08-18: repo1.maven.org still does not resolve, no
+jar(s).  BLOCKER (round 2, 2026-08-17; re-verified round 3 on 2026-08-17,
+2026-08-18, and 2026-08-19: repo1.maven.org still does not resolve, no
 iceberg*runtime*.jar anywhere on the filesystem): this sandbox ships no
 Iceberg jar
 (pyspark's 287 bundled jars contain none — checked) and has no network
