@@ -4323,6 +4323,152 @@ FROM feats ORDER BY doc_id
 """
 
 
+def q80_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via Bloom prefilter + exact verify
+    (operators/bloom.bloom_contamination_check): identical semantics to
+    q40's exact broadcast join, re-shaped for a known-gram side too big
+    to broadcast exactly (novelty vs a prior training corpus, multi-TB
+    blocklists): the known set becomes an m-bit Bloom bitmap (built
+    distributively, OR-reduced, ~10x smaller than the exact 8-byte hash
+    set at 1% FPR), corpus grams probe it in one Arrow-batched pass, and
+    only the survivors (true hits + ~fpr of the rest) enter a skinny
+    shuffle verify join.  Bloom filters have NO false negatives, so the
+    output equals the exact join byte-for-byte — which is precisely what
+    this oracle checks: the DuckDB side is the PLAIN exact join; a red
+    hash here means a build/probe domain drift.  Planting mirrors q40
+    with fresh parameters: the known set is every doc_id % 89 == 0, and
+    docs with doc_id % 17 == 4 get the concatenated known texts appended
+    — both engines derive the corpus identically."""
+    from text_similarity_node_spark.operators.bloom import (
+        bloom_contamination_check,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    src = bench.select(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("_src")
+    )
+    targets = docs.filter(F.col("doc_id") % 89 != 0).crossJoin(F.broadcast(src))
+    corpus = targets.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 4,
+            F.concat(F.col("text"), F.lit(" "), F.col("_src")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return bloom_contamination_check(corpus, bench, "doc_id", "text", n=13)
+
+
+_Q80_SQL = """
+WITH src AS (
+  SELECT string_agg(text, ' ' ORDER BY doc_id) AS s
+  FROM documents WHERE doc_id % 89 = 0
+),
+corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 4
+              THEN text || ' ' || (SELECT s FROM src)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 89 <> 0
+),
+words_c AS (
+  SELECT doc_id, regexp_extract_all(text, '\\w+') AS w FROM corpus
+),
+words_b AS (
+  SELECT doc_id, regexp_extract_all(text, '\\w+') AS w
+  FROM documents WHERE doc_id % 89 = 0
+),
+grams_c AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+  FROM words_c,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 12)) AS i)
+  WHERE len(w) >= 13
+),
+grams_b AS (
+  SELECT DISTINCT array_to_string(w[i:i+12], ' ') AS g
+  FROM words_b,
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 12)) AS i)
+  WHERE len(w) >= 13
+)
+SELECT doc_id, count(*)::BIGINT AS n_contaminated_grams
+FROM grams_c JOIN grams_b USING (g)
+GROUP BY doc_id
+"""
+
+
+def q81_index_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-disposition audit for keyed candidate joins — the accounting
+    behind the LSH/band machinery's cold/salted/dropped routing
+    (operators/lsh.candidate_pairs), restated over a key domain DuckDB
+    can recompute exactly: character-trigram posting lists (the q04
+    inverted index).  Per disposition class (audit-scale thresholds:
+    cold <= 64 docs, salted <= 256, dropped above) it reports the key
+    count, the row mass, and the quadratic pair-work n*(n-1)/2 each key
+    would inject into a bare equi-join — i.e. exactly how much work the
+    cap/salt policy routes away from single reducers.  This is the
+    no-silent-caps ledger as a first-class oracled query: at 100 TB you
+    run this profile BEFORE picking band_cap/hot_band_threshold, because
+    the dropped-class pair_work column is the quadratic blowup a naive
+    join would execute.  Scale shape: one shuffle on the gram key, pure
+    JVM integer arithmetic, 3-row output."""
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(C.char_ngrams(F.col("text"), 3)).alias("g")
+    )
+    posting = docs.distinct().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    classed = posting.select(
+        F.when(F.col("n") > 256, F.lit("dropped"))
+        .when(F.col("n") > 64, F.lit("salted"))
+        .otherwise(F.lit("cold"))
+        .alias("disposition"),
+        "n",
+    )
+    return (
+        classed.groupBy("disposition")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.sum(F.expr("n * (n - 1) div 2")).alias("pair_work"),
+        )
+        .orderBy("disposition")
+    )
+
+
+_Q81_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substring(text, i, 3) AS g
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i)
+),
+posting AS (
+  SELECT g, count(*)::BIGINT AS n FROM grams GROUP BY g
+),
+classed AS (
+  SELECT CASE WHEN n > 256 THEN 'dropped'
+              WHEN n > 64 THEN 'salted'
+              ELSE 'cold' END AS disposition,
+         n
+  FROM posting
+)
+SELECT disposition,
+       count(*)::BIGINT AS n_keys,
+       sum(n)::BIGINT AS n_rows,
+       sum(n * (n - 1) // 2)::BIGINT AS pair_work
+FROM classed
+GROUP BY disposition
+ORDER BY disposition
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4414,6 +4560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_percentile_sketch_audit": q77_percentile_sketch_audit,
         "q78_sequence_packing": q78_sequence_packing,
         "q79_audio_zcr_features": q79_audio_zcr_features,
+        "q80_bloom_contamination": q80_bloom_contamination,
+        "q81_index_skew_profile": q81_index_skew_profile,
     }
 
 
@@ -4497,6 +4645,8 @@ def oracle_sql() -> dict[str, str]:
         "q77_percentile_sketch_audit": _Q77_SQL,
         "q78_sequence_packing": _Q78_SQL,
         "q79_audio_zcr_features": _Q79_SQL,
+        "q80_bloom_contamination": _Q80_SQL,
+        "q81_index_skew_profile": _Q81_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
