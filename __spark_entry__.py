@@ -4469,6 +4469,95 @@ ORDER BY disposition
 """
 
 
+def q82_source_dedup_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicate attribution — the curation report a pipeline
+    runs after exact dedup to decide source priorities and spot mirror
+    sites: for every source, how many rows it contributed, how many it
+    loses to dedup (non-canonical members of an identical-content group,
+    keep-first policy), how many canonical copies it holds that other
+    rows point at, and its integer-micro dup rate.  The corpus plants
+    the two classic shapes deterministically: a 'mirror' source
+    rehosting every doc_id % 5 == 0 verbatim (at +1M ids: 100% dup
+    rate), and intra-source republication of every doc_id % 3 == 0 (at
+    +3M ids, same source).  Scale shape: exact_dedup's single shuffle on
+    md5(text), then a map-side-combinable groupBy on the low-cardinality
+    source key — attribution is free on top of the dedup pass."""
+    from text_similarity_node_spark.operators.dedup import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mirror = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("source", F.lit("mirror"))
+    )
+    rerun = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+    )
+    corpus = docs.unionByName(mirror).unionByName(rerun)
+    flagged = exact_dedup(corpus, "doc_id", "text")
+    # canonical rows whose group has dependents: count group members - 1
+    # per canonical, attributed to the canonical's source
+    grp = flagged.groupBy(
+        F.col("canonical_id").alias("grp_canon")
+    ).agg((F.count(F.lit(1)) - 1).alias("n_dependents"))
+    canon = (
+        flagged.filter(~F.col("is_duplicate"))
+        .join(grp, F.col("doc_id") == F.col("grp_canon"))
+        .groupBy("source")
+        .agg(F.sum("n_dependents").alias("n_canonical_dependents"))
+    )
+    per_source = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_duplicate").cast("bigint")).alias("n_dups_lost"),
+    )
+    return (
+        per_source.join(canon, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_dups_lost",
+            F.coalesce("n_canonical_dependents", F.lit(0)).alias(
+                "n_canonical_dependents"
+            ),
+            F.expr("n_dups_lost * 1000000 div n_docs").alias("dup_rate_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q82_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, 'mirror' FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text, source FROM documents WHERE doc_id % 3 = 0
+),
+flagged AS (
+  SELECT doc_id, source,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+         count(*) OVER (PARTITION BY md5(text)) AS grp_n
+  FROM corpus
+),
+canon AS (
+  SELECT source, sum(grp_n - 1)::BIGINT AS n_canonical_dependents
+  FROM flagged WHERE doc_id = canonical_id
+  GROUP BY source
+),
+per_source AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END)::BIGINT AS n_dups_lost
+  FROM flagged GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_dups_lost,
+       coalesce(c.n_canonical_dependents, 0)::BIGINT AS n_canonical_dependents,
+       (p.n_dups_lost * 1000000 // p.n_docs)::BIGINT AS dup_rate_micro
+FROM per_source p LEFT JOIN canon c ON p.source = c.source
+ORDER BY p.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4562,6 +4651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_audio_zcr_features": q79_audio_zcr_features,
         "q80_bloom_contamination": q80_bloom_contamination,
         "q81_index_skew_profile": q81_index_skew_profile,
+        "q82_source_dedup_attribution": q82_source_dedup_attribution,
     }
 
 
@@ -4647,6 +4737,7 @@ def oracle_sql() -> dict[str, str]:
         "q79_audio_zcr_features": _Q79_SQL,
         "q80_bloom_contamination": _Q80_SQL,
         "q81_index_skew_profile": _Q81_SQL,
+        "q82_source_dedup_attribution": _Q82_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
