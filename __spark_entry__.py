@@ -4558,6 +4558,90 @@ ORDER BY p.source
 """
 
 
+def q83_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings report — the number a curation team actually reads
+    off the cascade: per tier (0 kept / 1 exact-dup removed / 2 near-dup
+    removed), how many docs, how many word tokens, and how many chars
+    that tier holds.  Tier mass 1+2 is the compute the downstream trainer
+    does NOT spend; tier 0 is the surviving corpus.  Composes q49's
+    cascade (exact -> scale-shaped LSH near-dup -> CC) with the corpus
+    token accounting — one extra broadcast-sized join and a 3-row
+    map-side-combinable aggregate on top of the cascade's own plan, so
+    the report is free at any scale the cascade itself runs at.  Pure
+    integer output channels (counts, token sums, char sums)."""
+    cascade = q49_dedup_cascade(spark, sf_dir).select("doc_id", "tier")
+    corpus = _dedup_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.size(C.word_tokens(F.col("text"))).alias("tok"),
+        F.length("text").alias("nch"),
+    )
+    return (
+        cascade.join(corpus, "doc_id")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.sum("nch").alias("total_chars"),
+        )
+        .orderBy("tier")
+    )
+
+
+_Q83_SQL = f"""
+WITH RECURSIVE corpus AS ({_DEDUP_CORPUS_SQL}),
+ex AS (
+  SELECT doc_id, text, lang, min(doc_id) OVER (PARTITION BY text) AS c
+  FROM corpus
+),
+surv AS (
+  SELECT doc_id, text, lang, length(text) AS n_chars FROM ex WHERE doc_id = c
+),
+grams AS (
+  SELECT doc_id, substring(text, i, 3) AS g, count(*) AS cnt
+  FROM surv,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i)
+  GROUP BY doc_id, substring(text, i, 3)
+),
+meta AS (
+  SELECT doc_id, lang, n_chars, greatest(length(text) - 2, 1) AS total FROM surv
+),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, sum(least(g1.cnt, g2.cnt)) AS isz
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+),
+edges AS (
+  SELECT i.a, i.b
+  FROM inter i
+  JOIN meta m1 ON m1.doc_id = i.a
+  JOIN meta m2 ON m2.doc_id = i.b
+  WHERE m1.lang = m2.lang AND abs(m1.n_chars - m2.n_chars) <= 40
+    AND i.isz::DOUBLE / (m1.total + m2.total - i.isz) >= 0.55
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM surv
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+clus AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a),
+pertier AS (
+  SELECT e.doc_id, e.text,
+         (CASE WHEN e.doc_id != e.c THEN 1
+               WHEN cl.m != e.doc_id THEN 2
+               ELSE 0 END)::INT AS tier
+  FROM ex e JOIN clus cl ON cl.doc_id = e.c
+)
+SELECT tier,
+       count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(text, '\\w+')))::BIGINT AS total_tokens,
+       sum(length(text))::BIGINT AS total_chars
+FROM pertier
+GROUP BY tier
+ORDER BY tier
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4652,6 +4736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_bloom_contamination": q80_bloom_contamination,
         "q81_index_skew_profile": q81_index_skew_profile,
         "q82_source_dedup_attribution": q82_source_dedup_attribution,
+        "q83_dedup_savings": q83_dedup_savings,
     }
 
 
@@ -4738,6 +4823,7 @@ def oracle_sql() -> dict[str, str]:
         "q80_bloom_contamination": _Q80_SQL,
         "q81_index_skew_profile": _Q81_SQL,
         "q82_source_dedup_attribution": _Q82_SQL,
+        "q83_dedup_savings": _Q83_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
