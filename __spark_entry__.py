@@ -4642,6 +4642,127 @@ ORDER BY tier
 """
 
 
+def q84_bbit_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dup pairs through 1-bit MinHash — the signature-
+    compression tier (operators/bbit_minhash.py): k=256 slots packed to
+    four int64 words (32x smaller than the 64-bit signature the full
+    pipeline shuffles), 16-bit bit-bands through the salted LSH join,
+    exact SET trigram-Jaccard verify at 0.95.  Corpus: documents plus a
+    suffixed copy (text || ' the end.') at doc_id+3_000_000 for
+    doc_id % 4 == 0 — near-identical shingle sets.  The oracle
+    brute-forces the exact set-Jaccard >= 0.95 pairs in SQL; the hash
+    matches iff the compressed sketch's recall on this corpus is exactly
+    1.0 (precision is 1.0 by construction — the verify is exact).
+    Reference ground: exact Jaccard semantics per
+    /root/reference/src/algorithms/token_based.cpp:30-43; the sketch
+    tier is distributed-scale machinery the reference has no analogue
+    for (Li & Koenig, WWW 2010)."""
+    from text_similarity_node_spark.operators.bbit_minhash import (
+        bbit_neardup_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" the end.")).alias("text"),
+    )
+    corpus = docs.unionByName(copies).select(
+        "doc_id", C.char_ngrams(F.col("text"), 3).alias("tokens")
+    )
+    pairs = bbit_neardup_pairs(corpus, "doc_id", "tokens", threshold=0.95)
+    return pairs.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q84_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' the end.' FROM documents
+  WHERE doc_id % 4 = 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, substring(text, i, 3) AS g
+  FROM corpus,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS id1, g2.doc_id AS id2, count(*) AS isz
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY g1.doc_id, g2.doc_id
+)
+SELECT i.id1 AS doc_id1, i.id2 AS doc_id2
+FROM inter i
+JOIN sizes s1 ON s1.doc_id = i.id1
+JOIN sizes s2 ON s2.doc_id = i.id2
+WHERE i.isz::DOUBLE / (s1.sz + s2.sz - i.isz) >= 0.95
+"""
+
+
+def q85_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q58's vocabulary head re-derived through the Misra-Gries candidate
+    pass (operators/heavy_hitters.py) — same oracle on purpose, the
+    q04/q37 convention: the MG pass caps what each partition emits at k'
+    counter rows instead of its full distinct vocabulary, then exact-
+    recounts only the candidates, and PROVES the answer exact (k-th
+    count > N/k', else it falls back to the full aggregation).  At 100 TB
+    the plain wordcount exchange carries the entire heavy-tailed vocab;
+    this plan's exchange is O(partitions * k')."""
+    from pyspark.sql import Window
+
+    from text_similarity_node_spark.operators.heavy_hitters import exact_topk
+
+    docs = _load(spark, sf_dir, "documents").select("text")
+    items = docs.select(F.explode(C.word_tokens(F.col("text"))).alias("word"))
+    top = exact_topk(items, "word", 20, k_counters=1024)
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return top.select(
+        "word", "n", F.row_number().over(w).cast("int").alias("rank")
+    ).orderBy("rank")
+
+
+def q86_audio_cdc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio byte-stream containment pairs via content-defined chunking
+    (operators/audio_cdc.py) — the splice-robust EXACT tier between md5
+    payload dedup (whole-stream only) and spectral landmarks (lossy,
+    noise-robust): Gear-hash boundaries resync after an insertion, so
+    clips that embed the same PCM segment behind different prefixes and
+    suffixes share their interior chunks verbatim.  Corpus: one payload
+    per doc = unique junk prefix (length keyed to doc_id) || 6000-byte
+    segment shared by the doc_id % 125 class || unique junk suffix.  Two
+    clips share content iff doc_id % 125 matches — the SQL oracle; the
+    Spark side must recover exactly those pairs from the bytes alone
+    (>= 3 shared chunks), with cross-class chunk collisions impossible
+    (blake2b-64 content digests over seeded-random bytes).  mask_bits=8
+    (~256-byte average chunks): at the 512-byte default a shared segment
+    with a sparse natural-cut pattern can run on forced max_size cuts,
+    which never phase-resync across different prefix lengths — measured
+    24/750 pairs under 3 shared chunks at 512B vs 0/750 at 256B (worst
+    pair shares 7)."""
+    from text_similarity_node_spark.operators.audio_cdc import (
+        cdc_shared_chunk_pairs,
+        synth_cdc_payload_udf,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    clips = docs.withColumn("bytes", synth_cdc_payload_udf(125)(F.col("doc_id")))
+    pairs = cdc_shared_chunk_pairs(
+        clips, "doc_id", "bytes", min_shared=3, mask_bits=8
+    )
+    return pairs.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q86_SQL = """
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND a.doc_id % 125 = b.doc_id % 125
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4737,6 +4858,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_index_skew_profile": q81_index_skew_profile,
         "q82_source_dedup_attribution": q82_source_dedup_attribution,
         "q83_dedup_savings": q83_dedup_savings,
+        "q84_bbit_minhash_pairs": q84_bbit_minhash_pairs,
+        "q85_heavy_hitters": q85_heavy_hitters,
+        "q86_audio_cdc_pairs": q86_audio_cdc_pairs,
     }
 
 
@@ -4824,6 +4948,9 @@ def oracle_sql() -> dict[str, str]:
         "q81_index_skew_profile": _Q81_SQL,
         "q82_source_dedup_attribution": _Q82_SQL,
         "q83_dedup_savings": _Q83_SQL,
+        "q84_bbit_minhash_pairs": _Q84_SQL,
+        "q85_heavy_hitters": _Q58_SQL,  # MG pass == exact top-k, proven
+        "q86_audio_cdc_pairs": _Q86_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

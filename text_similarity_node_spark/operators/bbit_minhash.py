@@ -1,0 +1,160 @@
+"""b-bit MinHash: signature compression for the near-exact dedup tier.
+
+At 10^12 rows the MinHash signature table is the largest intermediate the
+pipeline shuffles: k=128 64-bit slots is 1 KiB/row — ~1 PB of signature
+alone.  Li & König ("b-Bit Minwise Hashing", WWW 2010, public) showed that
+keeping only the lowest b bits of each slot preserves a usable similarity
+estimator: for b=1,
+
+    P(bit_i agrees) = J + (1 - J) / 2        (r1, r2 -> 0 sparse regime)
+    =>  J_hat = 2 * agreement - 1
+
+so a k=256 signature packs into four int64 words — **32x smaller** than the
+64-bit slots it came from, and the Hamming distance between two packed
+signatures is four ``bit_count(xor)`` JVM instructions (no Arrow transfer,
+no Python worker, whole-stage codegen).
+
+The price is selectivity per bit: one bit agrees on half of all junk pairs,
+so bands must be wider (16 bits here vs the full-slot stage's r=5 slots =
+320 bits of entropy).  The operating regime is therefore the NEAR-EXACT
+tier (J >= ~0.9: crawl re-fetches, mirrored uploads, retranscodes) — the
+cheap first cascade stage that removes the bulk mass before the full-width
+MinHash/LSH pass handles the 0.7-0.9 band.  Recall at the tier threshold is
+driver-audited (``__spark_entry__.q84_bbit_minhash_pairs``): with
+p = (1+J)/2 per bit, a 16-bit band fires at p^16 and 16 bands give
+1 - (1 - p^16)^16 — at J = 0.95 that is 1 - 3e-8, and exact duplicates
+(identical signatures) collide with probability exactly 1.
+
+Reference ground: the reference library computes exact Jaccard only
+(``/root/reference/src/algorithms/token_based.cpp:30-43``); sketch
+compression is distributed-scale machinery it has no analogue for, same
+status as the LSH band stage itself (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pack_bits_udf(k: int):
+    """array<bigint> MinHash signature (k slots) -> array<bigint> of
+    ceil(k/64) packed words; bit j of word w = lowest bit of slot
+    64*w + j.  The lowest bit of a splitmix64-mixed minimum is an
+    unbiased coin per slot, which is exactly what the b=1 estimator
+    needs.  Empty-set sentinel signatures (all -1, see
+    minhash.minhash_signature_udf) pack to all-ones words; callers keep
+    routing sentinels around the sketch path (they carry no content)."""
+    n_words = (k + 63) // 64
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def udf(sig: pd.Series) -> pd.Series:
+        out = []
+        for s in sig:
+            if s is None:
+                out.append(None)
+                continue
+            bits = (np.asarray(s, dtype=np.int64) & 1).astype(np.uint64)
+            if bits.shape[0] < n_words * 64:  # pad short signatures
+                bits = np.pad(bits, (0, n_words * 64 - bits.shape[0]))
+            words = bits.reshape(n_words, 64)
+            shifts = np.arange(64, dtype=np.uint64)
+            packed = (words << shifts).sum(axis=1, dtype=np.uint64)
+            out.append(packed.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return udf
+
+
+def hamming_bits_col(p1: Column, p2: Column) -> Column:
+    """Total differing bits between two packed signatures — pure JVM:
+    zip_with xor -> bit_count -> aggregate sum.  No Python."""
+    return F.aggregate(
+        F.zip_with(p1, p2, lambda a, b: F.bit_count(a.bitwiseXOR(b))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def jaccard_estimate_col(p1: Column, p2: Column, k: int) -> Column:
+    """Li-König b=1 estimator: J_hat = 2 * (1 - hamming/k) - 1."""
+    agreement = F.lit(1.0) - hamming_bits_col(p1, p2).cast("double") / float(k)
+    return F.lit(2.0) * agreement - F.lit(1.0)
+
+
+def bit_bands(df: DataFrame, id_col: str, packed_col: str,
+              band_bits: int = 16, n_words: int = 4) -> DataFrame:
+    """(id, packed) -> (id, band_id, band_hash) rows: each packed word is
+    split into 64/band_bits contiguous bit groups; one output row per
+    group.  band_hash is the group's bit pattern (collision-free by
+    construction — no rehash needed).  Shaped for
+    ``lsh.candidate_pairs``, which owns hot-key disposition (cold /
+    salted-triangle / capped-with-metrics) so a degenerate sketch value
+    (e.g. the near-silence transcript cluster) cannot melt a reducer."""
+    assert 64 % band_bits == 0, "band_bits must divide 64"
+    per_word = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    packed = F.col(packed_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(w * per_word + g).alias("band_id"),
+            F.shiftright(packed[w], g * band_bits).bitwiseAND(
+                F.lit(mask)
+            ).alias("band_hash"),
+        )
+        for w in range(n_words)
+        for g in range(per_word)
+    ])
+    return (
+        df.select(F.col(id_col), F.explode(bands).alias("b"))
+        .select(id_col, F.col("b.band_id").alias("band_id"),
+                F.col("b.band_hash").alias("band_hash"))
+    )
+
+
+def bbit_neardup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float = 0.95,
+    k: int = 256,
+    seed: int = 1337,
+    band_bits: int = 16,
+    cfg=None,
+) -> DataFrame:
+    """Near-exact dup pairs via 1-bit MinHash banding + exact SET-Jaccard
+    verify.  Candidates come from 16-bit bit-bands routed through the
+    salted LSH join; the verify is the exact distinct-token Jaccard (JVM
+    array_intersect), so precision is exactly 1.0 and only recall rides
+    on the sketch.  Returns (id1, id2)."""
+    from ..config import PipelineConfig
+    from . import lsh, minhash
+
+    cfg = cfg or PipelineConfig()
+    sigs = docs.select(
+        F.col(id_col),
+        F.col(tokens_col).alias("_toks"),
+        minhash.minhash_signature_udf(k, seed)(F.col(tokens_col)).alias("_sig"),
+    ).withColumn("_packed", pack_bits_udf(k)(F.col("_sig"))).persist()
+
+    bands = bit_bands(sigs.select(id_col, "_packed"), id_col, "_packed",
+                      band_bits=band_bits, n_words=(k + 63) // 64)
+    pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col=id_col)
+
+    toks = sigs.select(F.col(id_col), F.array_distinct("_toks").alias("_set"))
+    cand = (
+        pairs.join(toks.withColumnRenamed(id_col, "id1")
+                   .withColumnRenamed("_set", "_s1"), "id1")
+        .join(toks.withColumnRenamed(id_col, "id2")
+              .withColumnRenamed("_set", "_s2"), "id2")
+    )
+    inter = F.size(F.array_intersect("_s1", "_s2")).cast("double")
+    union = (F.size("_s1") + F.size("_s2")).cast("double") - inter
+    return (
+        cand.withColumn("_j", F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
+        .filter(F.col("_j") >= threshold)
+        .select("id1", "id2")
+    )
