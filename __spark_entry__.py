@@ -4763,6 +4763,63 @@ FROM documents a JOIN documents b
 """
 
 
+def q87_bow_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup: canonical key = md5 over the SORTED
+    word multiset, so documents whose words were reordered (scraper
+    re-templating, list-order jitter, copy-paste shuffles) collapse into
+    one group even though byte-exact dedup (q05) sees distinct texts.
+    Corpus: documents plus a word-REVERSED copy at doc_id+4_000_000 for
+    doc_id % 3 == 0 — same bag, different bytes.  Emits one row per
+    group with >1 member: keeper (min doc_id), group size, and the
+    number of DISTINCT byte texts in the group (>1 where byte-exact
+    dedup would have missed members).  Pure JVM (sort_array + md5 —
+    whole-stage codegen, no Python); the groupBy shuffles one 32-char
+    key + two ints per doc, never the text.  At 10^12 rows this is the
+    same single-shuffle shape as q05 with a canonicalization expression
+    in front."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 4_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    key = F.md5(F.concat_ws("\x01", F.sort_array(F.split(F.col("text"), " "))))
+    return (
+        corpus.select("doc_id", key.alias("bow_key"), "text")
+        .groupBy("bow_key")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+        )
+        .filter(F.col("n_members") > 1)
+        .select("keep_id", "n_members", "n_distinct_texts")
+    )
+
+
+_Q87_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 4000000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents WHERE doc_id % 3 = 0
+),
+keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(string_split(text, ' ')), chr(1))) AS k,
+         text
+  FROM corpus
+)
+SELECT min(doc_id) AS keep_id,
+       count(*)::BIGINT AS n_members,
+       count(DISTINCT text)::BIGINT AS n_distinct_texts
+FROM keyed
+GROUP BY k
+HAVING count(*) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4861,6 +4918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_bbit_minhash_pairs": q84_bbit_minhash_pairs,
         "q85_heavy_hitters": q85_heavy_hitters,
         "q86_audio_cdc_pairs": q86_audio_cdc_pairs,
+        "q87_bow_dedup_groups": q87_bow_dedup_groups,
     }
 
 
@@ -4951,6 +5009,7 @@ def oracle_sql() -> dict[str, str]:
         "q84_bbit_minhash_pairs": _Q84_SQL,
         "q85_heavy_hitters": _Q58_SQL,  # MG pass == exact top-k, proven
         "q86_audio_cdc_pairs": _Q86_SQL,
+        "q87_bow_dedup_groups": _Q87_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

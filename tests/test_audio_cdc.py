@@ -114,3 +114,36 @@ def test_hot_chunk_cap_drops_boilerplate(spark):
         df, "id", "bytes", min_shared=1, mask_bits=8, hot_chunk_cap=2
     ).collect()
     assert got == []
+
+
+def test_cdc_savings_exact(spark):
+    from text_similarity_node_spark.operators.audio_cdc import cdc_savings
+
+    rng = np.random.RandomState(47)
+    seg = rng.randint(0, 256, 6000, dtype=np.uint8)
+    rows = []
+    for i in range(4):
+        junk = np.random.RandomState(400 + i).randint(
+            0, 256, 900 + 311 * i, dtype=np.int32
+        ).astype(np.uint8)
+        rows.append((i, bytearray(np.concatenate([junk, seg]).tobytes())))
+    df = spark.createDataFrame(rows, "id int, bytes binary")
+    got = cdc_savings(df, "id", "bytes").collect()[0]
+    # recompute expected from the chunker itself (python side)
+    total, uniq = 0, {}
+    for i, buf in rows:
+        buf = bytes(buf)
+        prev = 0
+        for c in cdc_boundaries(buf, mask_bits=8):
+            total += c - prev
+            uniq[
+                (hashlib.blake2b(buf[prev:c], digest_size=8).digest(), c - prev)
+            ] = c - prev
+            prev = c
+    u = sum(uniq.values())
+    assert got["n_clips"] == 4
+    assert got["total_bytes"] == total
+    assert got["unique_chunk_bytes"] == u
+    assert got["savings_ratio_micro"] == int(1_000_000 * (total - u) / total)
+    # the shared segment must actually produce savings
+    assert got["savings_ratio_micro"] > 300_000

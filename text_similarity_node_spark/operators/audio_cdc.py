@@ -184,6 +184,49 @@ def synth_cdc_payload_udf(n_groups: int = 125):
     return udf
 
 
+def cdc_savings(
+    clips: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    mask_bits: int = 8,
+    min_size: int = 128,
+    max_size: int = 2048,
+) -> DataFrame:
+    """Chunk-level dedup storage estimate — the number a storage planner
+    reads before enabling CDC on the clip store: one row with
+    (n_clips, total_bytes, unique_chunk_bytes, savings_ratio_micro).
+    ``unique_chunk_bytes`` is the store size if every distinct
+    (digest, len) chunk is kept once (content-addressed layout); the
+    ratio is integer-micro (savings = 1 - unique/total).
+
+    Plan: chunk UDF -> explode to (h, len) -> two map-side-combinable
+    aggregates; bytes never shuffle (only 16-byte chunk keys), so the
+    estimate costs one pass over the corpus at any scale."""
+    chunks = clips.select(
+        F.col(id_col),
+        F.explode(
+            cdc_chunks_udf(mask_bits, min_size, max_size)(F.col(bytes_col))
+        ).alias("c"),
+    ).select(id_col, F.col("c.h").alias("h"), F.col("c.len").alias("len"))
+    totals = chunks.agg(
+        F.countDistinct(id_col).alias("n_clips"),
+        F.sum("len").alias("total_bytes"),
+    )
+    uniq = (
+        chunks.select("h", "len").dropDuplicates(["h", "len"])
+        .agg(F.sum("len").alias("unique_chunk_bytes"))
+    )
+    return totals.crossJoin(uniq).select(
+        "n_clips",
+        "total_bytes",
+        "unique_chunk_bytes",
+        (
+            (F.lit(1_000_000) * (F.col("total_bytes") - F.col("unique_chunk_bytes")))
+            / F.col("total_bytes")
+        ).cast("long").alias("savings_ratio_micro"),
+    )
+
+
 def cdc_shared_chunk_pairs(
     clips: DataFrame,
     id_col: str,
