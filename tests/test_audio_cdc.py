@@ -147,3 +147,29 @@ def test_cdc_savings_exact(spark):
     assert got["savings_ratio_micro"] == int(1_000_000 * (total - u) / total)
     # the shared segment must actually produce savings
     assert got["savings_ratio_micro"] > 300_000
+
+
+def test_cdc_edges_compose_with_cc(spark):
+    """CDC pairs are edge-shaped (id1, id2) — they drop into the same
+    connected-components stage as text/landmark edges, giving byte-splice
+    dedup clusters with no extra machinery."""
+    from text_similarity_node_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = np.random.RandomState(53)
+    seg = {g: rng.randint(0, 256, 6000, dtype=np.uint8) for g in range(3)}
+    rows = []
+    for i in range(9):
+        junk = np.random.RandomState(500 + i).randint(
+            0, 256, 700 + 173 * i, dtype=np.int32
+        ).astype(np.uint8)
+        rows.append((i, bytearray(np.concatenate([junk, seg[i % 3]]).tobytes())))
+    df = spark.createDataFrame(rows, "id int, bytes binary")
+    edges = cdc_shared_chunk_pairs(
+        df, "id", "bytes", min_shared=3, mask_bits=8
+    ).select("id1", "id2")
+    comp = connected_components(edges)
+    got = {r["clip_id"]: r["cluster_id"] for r in comp.collect()}
+    for i in range(9):
+        assert got[i] == i % 3  # cluster rep = min id of the class

@@ -83,3 +83,43 @@ def test_partitioning_invariance(spark):
         ).collect()
     ]
     assert a == b
+
+
+def test_mg_fold_property():
+    """Property test of the pure mergeable-MG fold: on random streams cut
+    into random batch sizes, every item's undercount stays within
+    n/(k'+1) and every heavy item survives."""
+    import collections
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from text_similarity_node_spark.operators.heavy_hitters import mg_fold
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        st.integers(min_value=1, max_value=12),
+        st.data(),
+    )
+    def run(stream, k_counters, data):
+        # random batch split
+        summary: dict = {}
+        i = 0
+        while i < len(stream):
+            step = data.draw(st.integers(min_value=1, max_value=50))
+            batch = stream[i : i + step]
+            i += step
+            counts = collections.Counter(batch)
+            summary = mg_fold(summary, counts.items(), k_counters)
+        n = len(stream)
+        exact = collections.Counter(stream)
+        floor = n / (k_counters + 1)
+        for it, c in exact.items():
+            got = summary.get(it, 0)
+            assert got <= c  # never overcounts
+            assert c - got <= floor + 1e-9, (it, c, got, floor)
+            if c > floor:
+                assert it in summary, (it, c, floor)
+
+    run()

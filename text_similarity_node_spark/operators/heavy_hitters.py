@@ -51,6 +51,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def mg_fold(counters: dict, batch_counts, k_counters: int) -> dict:
+    """Fold one batch's exact (item, count) pairs into a bounded
+    Misra-Gries summary with the mergeable-summaries merge (Agarwal et
+    al., PODS 2012): add, then if more than k' counters remain, subtract
+    the (k'+1)-th largest value from all and drop the non-positive.
+
+    Invariant (the guarantee pass B relies on): for every item, the
+    summary undercounts its true frequency-so-far by at most
+    total_so_far / (k_counters + 1) — so any item with frequency above
+    that floor has a positive counter and survives.  Pure function;
+    property-tested directly in tests/test_heavy_hitters.py."""
+    for it, c in batch_counts:
+        counters[it] = counters.get(it, 0) + int(c)
+    if len(counters) > k_counters:
+        vals = sorted(counters.values(), reverse=True)
+        cut = vals[k_counters]  # (k'+1)-th largest
+        counters = {it: c - cut for it, c in counters.items() if c > cut}
+    return counters
+
+
 def mg_candidates(items: DataFrame, item_col: str, k_counters: int) -> DataFrame:
     """One column of items -> distinct candidate items (the union of
     per-partition Misra-Gries survivor sets).  Output is at most
@@ -70,14 +90,7 @@ def mg_candidates(items: DataFrame, item_col: str, k_counters: int) -> DataFrame
         counters: dict = {}
         for pdf in batches:
             vc = pdf[item_col].dropna().value_counts()
-            for it, c in vc.items():
-                counters[it] = counters.get(it, 0) + int(c)
-            if len(counters) > k_counters:
-                vals = sorted(counters.values(), reverse=True)
-                cut = vals[k_counters]  # (k'+1)-th largest
-                counters = {
-                    it: c - cut for it, c in counters.items() if c > cut
-                }
+            counters = mg_fold(counters, vc.items(), k_counters)
         yield pd.DataFrame({"item": list(counters.keys())})
 
     return (
