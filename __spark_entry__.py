@@ -4797,6 +4797,81 @@ def q87_bow_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (operators/span_dedup.py — the Lee et
+    al. 2022 exact-substring pass, re-expressed as relational ops): per
+    doc, how many token positions are covered by a 15-token window whose
+    exact text occurs at >= 2 (doc, position) places corpus-wide, with
+    overlapping spans interval-merged.  Doc-level dedup keeps a document
+    that merely CONTAINS a viral paragraph; this measures the repeated
+    span mass itself.  Corpus: documents plus the first-20-token slice
+    of every doc_id % 6 == 0 doc at doc_id+5_000_000 — each plant
+    duplicates exactly its 6 interior windows in the source, and organic
+    exact-dup texts duplicate all theirs.  No UDF anywhere; the oracle
+    restates the window/count/island plan in SQL verbatim."""
+    from text_similarity_node_spark.operators.span_dedup import (
+        duplicated_span_coverage,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(C.word_tokens(F.col("text")), 1, 20)).alias("text"),
+    )
+    corpus = docs.unionByName(copies).select(
+        "doc_id", C.word_tokens(F.col("text")).alias("tokens")
+    )
+    return duplicated_span_coverage(corpus, "doc_id", "tokens", w=15)
+
+
+_Q88_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000,
+         array_to_string(list_slice(regexp_extract_all(text, '\w+'), 1, 20), ' ')
+  FROM documents WHERE doc_id % 6 = 0
+),
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM corpus
+),
+wins AS (
+  SELECT doc_id, len(t) AS n_tokens, i AS p,
+         array_to_string(list_slice(t, i, i + 14), ' ') AS win
+  FROM toks,
+       LATERAL (SELECT unnest(generate_series(1, len(t) - 14)) AS i)
+  WHERE len(t) >= 15
+),
+flagged AS (
+  SELECT doc_id, n_tokens, p, p + 14 AS e
+  FROM wins
+  WHERE win IN (SELECT win FROM wins GROUP BY win HAVING count(*) > 1)
+),
+marked AS (
+  SELECT doc_id, n_tokens, p, e,
+         CASE WHEN p > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1, -1) THEN 1 ELSE 0 END AS new_isl
+  FROM flagged
+),
+islands AS (
+  SELECT doc_id, n_tokens, p, e,
+         sum(new_isl) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS isl
+  FROM marked
+),
+cov AS (
+  SELECT doc_id, n_tokens, isl, max(e) - min(p) + 1 AS c
+  FROM islands GROUP BY doc_id, n_tokens, isl
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, sum(c)::BIGINT AS n_covered
+FROM cov GROUP BY doc_id, n_tokens
+"""
+
+
 _Q87_SQL = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -4919,6 +4994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_heavy_hitters": q85_heavy_hitters,
         "q86_audio_cdc_pairs": q86_audio_cdc_pairs,
         "q87_bow_dedup_groups": q87_bow_dedup_groups,
+        "q88_span_dedup_coverage": q88_span_dedup_coverage,
     }
 
 
@@ -5010,6 +5086,7 @@ def oracle_sql() -> dict[str, str]:
         "q85_heavy_hitters": _Q58_SQL,  # MG pass == exact top-k, proven
         "q86_audio_cdc_pairs": _Q86_SQL,
         "q87_bow_dedup_groups": _Q87_SQL,
+        "q88_span_dedup_coverage": _Q88_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
