@@ -4895,6 +4895,61 @@ HAVING count(*) > 1
 """
 
 
+#: BPE-ish pre-tokenizer (the GPT-2 pattern family, public): contractions,
+#: space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+#: punctuation runs, whitespace runs.  The canonical GPT-2 regex ends with
+#: ``\s+(?!\S)|\s+``; RE2 (DuckDB) has no lookahead, so the lookahead
+#: branch is dropped — on both engines the SAME simplified pattern runs,
+#: so counts agree by construction (the lookahead only changes how a
+#: trailing space glues to the next token, not the cross-engine contract).
+_BPE_PAT = r"'[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def q89_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware accounting — the number a training pipeline costs
+    its corpus in, BEFORE the real tokenizer runs: per doc, the BPE-ish
+    pre-token count (GPT-2 pre-tokenizer pattern family over JVM
+    regexp_extract_all — whole-stage codegen, no UDF), the whitespace
+    word count, and the bytes-per-pre-token fertility in exact
+    integer-micro.  Pre-token count upper-bounds the BPE token count and
+    tracks it closely on natural text (every BPE merge happens inside a
+    pre-token); fertility flags documents that will tokenize expensively
+    (code, tables, non-Latin scripts).  Counts are pure integers so the
+    oracle hashes bit-for-bit."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)))
+    n_words = F.size(C.word_tokens(F.col("text")))
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("_nch"),
+            n_bpe.cast("long").alias("n_pretokens"),
+            n_words.cast("long").alias("n_words"),
+        )
+        .filter(F.col("n_pretokens") > 0)
+        # `div` is exact BIGINT floor division (the q06 integer-channel
+        # discipline) — a double `/` + cast can round up across the floor
+        .select(
+            "doc_id", "n_pretokens", "n_words",
+            F.expr("(_nch * 1000000L) div n_pretokens")
+            .alias("bytes_per_pretoken_micro"),
+        )
+    )
+
+
+_Q89_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '''[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))::BIGINT
+         AS n_pretokens,
+       len(regexp_extract_all(text, '\w+'))::BIGINT AS n_words,
+       ((length(text)::BIGINT * 1000000)
+         // len(regexp_extract_all(text, '''[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))::BIGINT)::BIGINT
+         AS bytes_per_pretoken_micro
+FROM documents
+WHERE len(regexp_extract_all(text, '''[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4995,6 +5050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_audio_cdc_pairs": q86_audio_cdc_pairs,
         "q87_bow_dedup_groups": q87_bow_dedup_groups,
         "q88_span_dedup_coverage": q88_span_dedup_coverage,
+        "q89_bpe_token_stats": q89_bpe_token_stats,
     }
 
 
@@ -5087,6 +5143,7 @@ def oracle_sql() -> dict[str, str]:
         "q86_audio_cdc_pairs": _Q86_SQL,
         "q87_bow_dedup_groups": _Q87_SQL,
         "q88_span_dedup_coverage": _Q88_SQL,
+        "q89_bpe_token_stats": _Q89_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
