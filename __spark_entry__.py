@@ -4950,6 +4950,203 @@ WHERE len(regexp_extract_all(text, '''[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0
 """
 
 
+def q90_crosscorpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup decision — the bulk form of what a training
+    pipeline runs on every new crawl: dedupe the NEW snapshot against the
+    already-INDEXED corpus (never new-vs-new; re-crawls must not evict
+    history).  Candidates come from the production MinHash/LSH band join
+    (operators/lsh.candidate_pairs — same salted/capped skew machinery as
+    q16) run bipartite by unioning both corpora into one id space and
+    keeping only cross-side pairs; exact set word-Jaccard (reference kernel
+    #5 WORD mode, token_based.cpp:128-159) verifies in pure-integer
+    arithmetic (5*|A∩B| >= 4*|A∪B| <=> J >= 0.8, no float at the
+    boundary).  Output: one verdict row per new doc — drop (with the
+    lowest matched old id and match count) or keep.
+
+    New snapshot (deterministic, restated by the oracle): doc_id%4==0 a
+    near-dup re-crawl (first 10 chars lost), %4==1 a byte-identical
+    re-crawl, %4==2 a 40-char teaser fragment (must be kept — fragments
+    are new content under set-Jaccard).  Banding b=21/r=3 puts capture
+    P at the 0.8 verify threshold at 1-3e-7 per pair; the LSH+verify
+    composition is deterministic (seeded), and its output equals the
+    exact oracle at the registered SFs — a red hash here means the
+    probabilistic tier actually lost a pair.
+
+    At 100 TB the shape holds: the indexed side's bands are precomputed
+    once (the streaming store in streaming/incremental.py maintains them);
+    per snapshot only new-side signatures shuffle, and the verdict agg is
+    one groupBy on the new id."""
+    from text_similarity_node_spark.config import PipelineConfig
+    from text_similarity_node_spark.operators import lsh, minhash
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.select(F.col("doc_id").alias("id"), "text")
+    new = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("id"),
+            F.expr("substring(text, 11)").alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 1).select(
+                (F.col("doc_id") + 4_000_000).alias("id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 4 == 2).select(
+                (F.col("doc_id") + 5_000_000).alias("id"),
+                F.expr("substring(text, 1, 40)").alias("text"),
+            )
+        )
+    )
+    both = (
+        old.unionByName(new)
+        .select("id", F.array_distinct(C.word_tokens(F.col("text"))).alias("toks"))
+    )
+    cfg = PipelineConfig(
+        minhash_k=63, lsh_bands=21, lsh_rows=3,
+        hot_band_threshold=500, salt_buckets=8,
+        verify_threshold=0.8,
+    )
+    sig = minhash.with_minhash(both, "toks", cfg).select("id", "minhash")
+    bands = minhash.explode_bands(sig, "id", "minhash", cfg)
+    pairs, _metrics = lsh.candidate_pairs(bands, cfg, id_col="id")
+    # id1 < id2 by construction; cross-side pairs have the old id left of
+    # the 3M offset and the new id right of it
+    cross = pairs.filter(
+        (F.col("id1") < 3_000_000) & (F.col("id2") >= 3_000_000)
+    )
+    t_old = both.select(F.col("id").alias("id1"), F.col("toks").alias("toks1"))
+    t_new = both.select(F.col("id").alias("id2"), F.col("toks").alias("toks2"))
+    inter = F.size(F.array_intersect(F.col("toks1"), F.col("toks2")))
+    uni = F.size("toks1") + F.size("toks2") - inter
+    matches = (
+        cross.join(t_old, "id1")
+        .join(t_new, "id2")
+        .filter(inter * 5 >= uni * 4)
+        .groupBy(F.col("id2").alias("new_id"))
+        .agg(
+            F.min("id1").alias("matched_old_id"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )
+    return (
+        new.select(F.col("id").alias("new_id"))
+        .join(matches, "new_id", "left")
+        .select(
+            "new_id",
+            F.when(F.col("matched_old_id").isNull(), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("verdict"),
+            "matched_old_id",
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+    )
+
+
+_Q90_SQL = r"""
+WITH old AS (
+  SELECT doc_id AS id, list_distinct(regexp_extract_all(text, '\w+')) AS toks
+  FROM documents
+),
+newd AS (
+  SELECT doc_id + 3000000 AS id, substring(text, 11) AS text
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id + 5000000, substring(text, 1, 40)
+  FROM documents WHERE doc_id % 4 = 2
+),
+newt AS (
+  SELECT id, list_distinct(regexp_extract_all(text, '\w+')) AS toks FROM newd
+),
+m AS (
+  SELECT n.id AS new_id, min(o.id) AS matched_old_id,
+         count(*)::BIGINT AS n_matches
+  FROM newt n JOIN old o
+    ON 5 * len(list_intersect(n.toks, o.toks))
+       >= 4 * (len(n.toks) + len(o.toks) - len(list_intersect(n.toks, o.toks)))
+  GROUP BY n.id
+)
+SELECT n.id AS new_id,
+       CASE WHEN m.new_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+       m.matched_old_id,
+       coalesce(m.n_matches, 0)::BIGINT AS n_matches
+FROM newt n LEFT JOIN m ON n.id = m.new_id
+"""
+
+
+def q91_fuzzy_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute-edit-distance fuzzy-match join (ed <= 8) — the
+    transcript-variant / OCR-noise matcher, and the scale shape q02's
+    length-bucket plan cannot reach: candidates come from the Ed-Join
+    prefix filter (operators/simjoin.prefix_filter_editdist_join, Xiao et
+    al. 2008 re-expressed relationally) — occurrence-numbered trigrams,
+    rarest q*d+1 per doc, equi-join on prefix tokens — which is
+    candidate-COMPLETE (multiset q-gram count bound; short docs routed
+    through a broadcast pool), so the exact SQL join is the oracle with no
+    probabilistic caveat.  Verify is the JVM banded Levenshtein built-in
+    (O(d*n), early abandon).  Small absolute radii are where q-gram
+    prefixes are selective (25 occurrence-tokens per doc regardless of
+    length) — at 100 TB the prefix posting lists stay rare-token-only
+    while q02's within-bucket quadratic would not.
+
+    Corpus plants re-keyed variants (restated by the oracle): %6==0 loses
+    its first 3 chars (ed 3), %9==0 its last 5 (ed 5); a doc in both
+    strata yields a variant-vs-variant pair at exactly ed 8 — the band
+    boundary."""
+    from text_similarity_node_spark.operators.simjoin import (
+        prefix_filter_editdist_join,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = (
+        docs.select("doc_id", "lang", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 6_000_000).alias("doc_id"),
+                "lang",
+                F.expr("substring(text, 4)").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 9 == 0).select(
+                (F.col("doc_id") + 7_000_000).alias("doc_id"),
+                "lang",
+                F.expr("substring(text, 1, length(text) - 5)").alias("text"),
+            )
+        )
+    )
+    pairs = prefix_filter_editdist_join(
+        corpus, "doc_id", "text", max_dist=8, group_cols=["lang"]
+    )
+    return pairs.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+_Q91_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 6000000, lang, substring(text, 4)
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT doc_id + 7000000, lang, substring(text, 1, length(text) - 5)
+  FROM documents WHERE doc_id % 9 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       levenshtein(a.text, b.text)::BIGINT AS dist
+FROM corpus a JOIN corpus b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(length(a.text) - length(b.text)) <= 8
+WHERE levenshtein(a.text, b.text) <= 8
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5051,6 +5248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_bow_dedup_groups": q87_bow_dedup_groups,
         "q88_span_dedup_coverage": q88_span_dedup_coverage,
         "q89_bpe_token_stats": q89_bpe_token_stats,
+        "q90_crosscorpus_dedup": q90_crosscorpus_dedup,
+        "q91_fuzzy_editdist_join": q91_fuzzy_editdist_join,
     }
 
 
@@ -5144,6 +5343,8 @@ def oracle_sql() -> dict[str, str]:
         "q87_bow_dedup_groups": _Q87_SQL,
         "q88_span_dedup_coverage": _Q88_SQL,
         "q89_bpe_token_stats": _Q89_SQL,
+        "q90_crosscorpus_dedup": _Q90_SQL,
+        "q91_fuzzy_editdist_join": _Q91_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -101,3 +101,140 @@ def prefix_filter_jaccard_join(
         .select("id1", "id2", "jaccard")
     )
     return verified
+
+
+def prefix_filter_editdist_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int,
+    q: int = 3,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """df(id, text) -> pairs(id1, id2, dist) with edit distance <= max_dist.
+    Exact (recall 1.0 by construction) — the Ed-Join family (Xiao, Wang,
+    Lin 2008) re-expressed relationally, the absolute-edit-distance sibling
+    of :func:`prefix_filter_jaccard_join`.
+
+    Candidate generation rests on the multiset q-gram count filter
+    (Sarawagi-Kirpal / Gravano et al.): one edit operation rewrites at most
+    ``q`` q-gram occurrences, so ed(a,b) <= d implies the *multiset*
+    q-gram intersection is >= max(n_a, n_b) - q*d (n = len - q + 1
+    occurrences).  Multiset semantics are realized by occurrence-numbered
+    tokens (``gram#k``, k-th occurrence of that gram within the record —
+    canonical per-gram counters, not positions, so the min-count identity
+    holds verbatim).  With a common rarest-first global order, the prefix
+    lemma then guarantees two qualifying records share a token within their
+    first ``q*d + 1`` occurrence-tokens whenever max(n_a, n_b) >= q*d + 1;
+    the equi-join on prefix tokens is therefore candidate-complete for all
+    pairs except short x short.
+
+    Records with n <= q*d occurrences (len < q*d + q: these can, in the
+    worst case, share zero q-grams with a qualifying partner) are routed
+    through a brute-force side pool joined to every record within the
+    length filter — the pool is O(docs shorter than q*(d+1)) and empties
+    entirely on natural corpora; at 100 TB it stays a broadcast.
+
+    The verify is the JVM banded Levenshtein built-in (O(d*n), early
+    abandon past the band); unlike the reference's similarity-normalized
+    kernel (levenshtein.cpp:314-321) this emits the raw distance — the
+    fuzzy-match-join contract (transcript variants, OCR noise).
+    """
+    groups = list(group_cols or [])
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError("max_dist must be >= 0")
+    prefix_len = q * d + 1
+
+    base = df.select(
+        F.col(id_col).alias("rid"), *groups, F.col(text_col).alias("txt")
+    ).withColumn("len", F.length("txt"))
+    # consumed by gram generation, the short pool, and both verify sides
+    base = base.persist()
+
+    # occurrence-numbered q-grams (multiset tokens).  posexplode keeps the
+    # text column out of the shuffled rows; the per-(rid, gram) counter is
+    # a narrow window over the exploded grams.
+    grams = (
+        base.filter(F.col("len") >= q)
+        .select(
+            "rid",
+            "len",
+            *groups,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(txt) - {q - 1}),"
+                    f" i -> substring(txt, i, {q}))"
+                )
+            ).alias("gram"),
+        )
+        .withColumn(
+            "occ",
+            F.row_number().over(
+                Window.partitionBy("rid", "gram").orderBy(F.monotonically_increasing_id())
+            ),
+        )
+        .withColumn("tok", F.concat_ws("#", "gram", "occ"))
+    )
+    # rarest-first common order (per group — pairs never cross groups)
+    freq = grams.groupBy("tok", *groups).agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        grams.join(freq, ["tok", *groups])
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("rid").orderBy(F.col("df").asc(), F.col("tok").asc())
+            ),
+        )
+        .filter(F.col("rank") <= prefix_len)
+        .select("rid", "len", *groups, "tok")
+    )
+    prefix = prefix.persist()
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    join_cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.rid") < F.col("b.rid"))
+        # ed <= d forces |len(a) - len(b)| <= d
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= d)
+    )
+    for g in groups:
+        join_cond = join_cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    cand = a.join(b, join_cond).select(
+        F.col("a.rid").alias("id1"), F.col("b.rid").alias("id2")
+    )
+
+    # short pool: records whose occurrence count can be wiped out entirely
+    # by d edits.  Broadcast (bounded by construction) against everything
+    # in length range; unordered pairs normalized to id1 < id2.
+    short = base.filter(F.col("len") - (q - 1) <= q * d).select(
+        F.col("rid").alias("srid"), *[F.col(g).alias(f"s_{g}") for g in groups],
+        F.col("len").alias("slen"),
+    )
+    pool_cond = (F.abs(F.col("slen") - F.col("len")) <= d) & (
+        F.col("srid") != F.col("rid")
+    )
+    for g in groups:
+        pool_cond = pool_cond & (F.col(f"s_{g}") == F.col(g))
+    pool = (
+        F.broadcast(short)
+        .join(base.select("rid", "len", *groups), pool_cond)
+        .select(
+            F.least("srid", "rid").alias("id1"),
+            F.greatest("srid", "rid").alias("id2"),
+        )
+    )
+
+    cand = cand.unionByName(pool).dropDuplicates(["id1", "id2"])
+
+    t1 = base.select(F.col("rid").alias("id1"), F.col("txt").alias("txt1"))
+    t2 = base.select(F.col("rid").alias("id2"), F.col("txt").alias("txt2"))
+    thresholded = F.levenshtein(F.col("txt1"), F.col("txt2"), d)
+    verified = (
+        cand.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("dist", thresholded)
+        .filter(F.col("dist") >= 0)  # built-in emits -1 past the band
+        .select("id1", "id2", "dist")
+    )
+    return verified
