@@ -5147,6 +5147,250 @@ WHERE levenshtein(a.text, b.text) <= 8
 """
 
 
+def q92_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-contract audit — the q64/q77 sketch-certification
+    pattern applied to the signature estimator every probabilistic tier
+    leans on (the S-curve algebra, the prefilter bound in
+    minhash.prefilter_candidates, the b-bit compression in q84): over a
+    deterministic pair panel spanning the J range (consecutive-id pairs at
+    organic low J, planted near-dups, byte-identical copies at J=1), the
+    slot-agreement estimate agree/k must sit within eps of the EXACT set
+    Jaccard on every pair.  k=1024 audit signatures put sd(agreement) <=
+    0.0156, so eps=0.09 is a 5.8-sigma contract (per-pair miss ~8e-9;
+    seeded hashes make the realized outcome a fixed fact).  The violation
+    predicate is pure integer cross-multiplication — 1e6*|agree*U - k*I| >
+    eps_micro*k*U — so there is no float at the boundary; the oracle
+    restates the panel size and asserts zero violations.  A red hash here
+    means the hash family itself drifted (seed/mixer change), the one
+    failure the recall audits (q31/q35/q76) would only catch indirectly."""
+    from text_similarity_node_spark.operators import minhash
+
+    k, seed, eps_micro = 1024, 42, 90_000
+    corp = _dedup_corpus(spark, sf_dir)
+    sig = (
+        corp.select(
+            "doc_id",
+            F.array_distinct(C.char_ngrams(F.col("text"), 3)).alias("toks"),
+        )
+        .withColumn("sig", minhash.minhash_signature_udf(k, seed)(F.col("toks")))
+        .persist()
+    )
+    d = _load(spark, sf_dir, "documents").select("doc_id")
+    consec = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+    )
+    exact = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id1"), (F.col("doc_id") + 1_000_000).alias("id2")
+    )
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id1"), (F.col("doc_id") + 2_000_000).alias("id2")
+    )
+    pairs = consec.unionByName(exact).unionByName(near)
+    s1 = sig.select(
+        F.col("doc_id").alias("id1"), F.col("toks").alias("t1"), F.col("sig").alias("g1")
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("id2"), F.col("toks").alias("t2"), F.col("sig").alias("g2")
+    )
+    j = pairs.join(s1, "id1").join(s2, "id2")
+    inter = F.size(F.array_intersect("t1", "t2")).cast("long")
+    uni = F.size("t1").cast("long") + F.size("t2").cast("long") - inter
+    agree = F.size(
+        F.filter(F.zip_with(F.col("g1"), F.col("g2"), lambda a, b: a == b), lambda x: x)
+    ).cast("long")
+    viol = (F.lit(1_000_000).cast("long") * F.abs(agree * uni - F.lit(k) * inter)) > (
+        F.lit(eps_micro).cast("long") * F.lit(k) * uni
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(eps_micro).cast("long").alias("eps_micro"),
+        F.sum(viol.cast("long")).alias("n_violations"),
+    )
+
+
+_Q92_SQL = """
+SELECT ((SELECT count(*) FROM documents a JOIN documents b
+           ON b.doc_id = a.doc_id + 1)
+        + (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+        + (SELECT count(*) FROM documents WHERE doc_id % 7 = 0))::BIGINT
+         AS n_pairs,
+       1024::BIGINT AS k,
+       90000::BIGINT AS eps_micro,
+       0::BIGINT AS n_violations
+"""
+
+
+def q93_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-tuning report — the sweep a pipeline runs BEFORE
+    committing a near-dup threshold at 100 TB: pair counts at every
+    candidate threshold from ONE exact candidate pass.  Candidates come
+    from the prefix-filter join at the LOWEST threshold in the sweep
+    (recall 1.0 by construction — every higher threshold's pair set is a
+    subset), token arrays join back once, and the per-threshold counts are
+    conditional sums over exact integer cross-multiplications
+    (I*100 >= pct*U), so no float touches a boundary and the brute-force
+    SQL oracle matches bit-for-bit.  At scale this replaces six
+    candidate-generation passes with one — the sweep cost is one extra
+    column scan over the verified pair set."""
+    from text_similarity_node_spark.operators.simjoin import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", C.word_tokens(F.col("text")).alias("toks")
+    )
+    pairs = prefix_filter_jaccard_join(
+        docs, "doc_id", "toks", threshold=0.7, group_cols=["lang"]
+    )
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.col("toks")).alias("dtoks")
+    )
+    t1 = toks.select(F.col("doc_id").alias("id1"), F.col("dtoks").alias("t1"))
+    t2 = toks.select(F.col("doc_id").alias("id2"), F.col("dtoks").alias("t2"))
+    iu = (
+        pairs.join(t1, "id1")
+        .join(t2, "id2")
+        .select(
+            F.size(F.array_intersect("t1", "t2")).cast("long").alias("i"),
+            (
+                F.size("t1").cast("long")
+                + F.size("t2").cast("long")
+                - F.size(F.array_intersect("t1", "t2")).cast("long")
+            ).alias("u"),
+        )
+    )
+    aggs = [
+        F.coalesce(
+            F.sum((F.col("i") * 100 >= F.lit(pct) * F.col("u")).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias(f"n_ge_{pct}")
+        for pct in (70, 75, 80, 85, 90, 95)
+    ]
+    return iu.agg(*aggs)
+
+
+_Q93_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct(regexp_extract_all(text, '\w+')) AS toks
+  FROM documents
+),
+p AS (
+  SELECT len(list_intersect(a.toks, b.toks))::BIGINT AS i,
+         (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::BIGINT AS u
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT coalesce(sum(CASE WHEN i * 100 >= 70 * u THEN 1 ELSE 0 END), 0)::BIGINT AS n_ge_70,
+       coalesce(sum(CASE WHEN i * 100 >= 75 * u THEN 1 ELSE 0 END), 0)::BIGINT AS n_ge_75,
+       coalesce(sum(CASE WHEN i * 100 >= 80 * u THEN 1 ELSE 0 END), 0)::BIGINT AS n_ge_80,
+       coalesce(sum(CASE WHEN i * 100 >= 85 * u THEN 1 ELSE 0 END), 0)::BIGINT AS n_ge_85,
+       coalesce(sum(CASE WHEN i * 100 >= 90 * u THEN 1 ELSE 0 END), 0)::BIGINT AS n_ge_90,
+       coalesce(sum(CASE WHEN i * 100 >= 95 * u THEN 1 ELSE 0 END), 0)::BIGINT AS n_ge_95
+FROM p
+"""
+
+
+def q94_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-clustering quality report — the audit a pipeline publishes
+    after connected components, because CC can CHAIN: a->b and b->c edges
+    merge a and c into one cluster even when sim(a, c) is far below
+    threshold, and a keep-one-per-cluster policy then silently discards
+    non-duplicates.  Per dup cluster (exact word-Jaccard >= 0.9 edges,
+    same-lang, CC min-label assignment): member count, verified edge
+    count, the weakest edge in exact integer micro (the chain indicator —
+    a low min-edge in a large cluster is transitive drift), and whether
+    the cluster is a clique (2*edges == size*(size-1); cliques cannot have
+    chained in anything).  Everything is relational: the exact prefix-
+    filter join supplies edges (recall 1.0), CC runs min-label
+    propagation, and the DuckDB oracle re-derives clusters with a
+    recursive reachability CTE — so the iterative distributed CC is
+    checked end-to-end, not just its fixpoint shape."""
+    from text_similarity_node_spark.operators.components import connected_components
+    from text_similarity_node_spark.operators.simjoin import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", C.word_tokens(F.col("text")).alias("toks")
+    )
+    pairs = prefix_filter_jaccard_join(
+        docs, "doc_id", "toks", threshold=0.9, group_cols=["lang"]
+    )
+    toks = docs.select("doc_id", F.array_distinct("toks").alias("dtoks"))
+    t1 = toks.select(F.col("doc_id").alias("id1"), F.col("dtoks").alias("t1"))
+    t2 = toks.select(F.col("doc_id").alias("id2"), F.col("dtoks").alias("t2"))
+    edges = (
+        pairs.join(t1, "id1")
+        .join(t2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.expr(
+                "(1000000 * cast(size(array_intersect(t1, t2)) as bigint))"
+                " div (cast(size(t1) as bigint) + cast(size(t2) as bigint)"
+                "      - cast(size(array_intersect(t1, t2)) as bigint))"
+            ).alias("j_micro"),
+        )
+        .persist()
+    )
+    cc = connected_components(edges.select("id1", "id2"))
+    members = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    e_assign = edges.join(
+        cc.select(F.col("clip_id").alias("id1"), "cluster_id"), "id1"
+    )
+    e_stats = e_assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min("j_micro").alias("min_edge_j_micro"),
+    )
+    return members.join(e_stats, "cluster_id").select(
+        "cluster_id",
+        F.col("size").cast("long").alias("size"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        "min_edge_j_micro",
+        (F.col("n_edges") * 2 == F.col("size") * (F.col("size") - 1))
+        .cast("int")
+        .alias("is_clique"),
+    )
+
+
+_Q94_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, list_distinct(regexp_extract_all(text, '\w+')) AS toks
+  FROM documents
+),
+edges AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         ((1000000 * len(list_intersect(a.toks, b.toks))::BIGINT)
+          // (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::BIGINT)
+           AS j_micro
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM edges
+        UNION SELECT id2, id1 FROM edges),
+reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+clus AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+members AS (SELECT cluster_id, count(*)::BIGINT AS size FROM clus GROUP BY cluster_id),
+estats AS (
+  SELECT c.cluster_id, count(*)::BIGINT AS n_edges,
+         min(e.j_micro) AS min_edge_j_micro
+  FROM edges e JOIN clus c ON c.doc_id = e.id1
+  GROUP BY c.cluster_id
+)
+SELECT m.cluster_id, m.size, s.n_edges, s.min_edge_j_micro,
+       (CASE WHEN s.n_edges * 2 = m.size * (m.size - 1) THEN 1 ELSE 0 END)::INT
+         AS is_clique
+FROM members m JOIN estats s ON m.cluster_id = s.cluster_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5250,6 +5494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_bpe_token_stats": q89_bpe_token_stats,
         "q90_crosscorpus_dedup": q90_crosscorpus_dedup,
         "q91_fuzzy_editdist_join": q91_fuzzy_editdist_join,
+        "q92_minhash_estimator_audit": q92_minhash_estimator_audit,
+        "q93_threshold_sweep": q93_threshold_sweep,
+        "q94_cluster_quality": q94_cluster_quality,
     }
 
 
@@ -5345,6 +5592,9 @@ def oracle_sql() -> dict[str, str]:
         "q89_bpe_token_stats": _Q89_SQL,
         "q90_crosscorpus_dedup": _Q90_SQL,
         "q91_fuzzy_editdist_join": _Q91_SQL,
+        "q92_minhash_estimator_audit": _Q92_SQL,
+        "q93_threshold_sweep": _Q93_SQL,
+        "q94_cluster_quality": _Q94_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
