@@ -749,7 +749,8 @@ if __name__ == "__main__":
         i = sys.argv.index("--scaling-child")
         _scaling_child(int(sys.argv[i + 1]), sys.argv[i + 2], sys.argv[i + 3])
     elif "--scaling" in sys.argv:
-        bench_scaling()
+        lv = os.environ.get("SPARK_GRAFT_SCALE_LEVELS")
+        bench_scaling(tuple(int(x) for x in lv.split(",")) if lv else (2, 8, 32))
     elif "--kernels" in sys.argv:
         bench_kernels()
     elif "--streaming" in sys.argv:

@@ -65,6 +65,19 @@ def get_spark(
     # spark.executorEnv.* carries the same settings to executors.
     malloc_env = _worker_malloc_env()
     os.environ.update(malloc_env)
+    # Shuffle/spill/localCheckpoint blocks go to spark.local.dir.  On a real
+    # cluster every executor writes these to its OWN local disks — that
+    # bandwidth scales with executor count.  This sandbox has ONE shared
+    # virtio disk, so leaving local.dir on it serializes all "executors'"
+    # shuffle writes through a single device (event-log profile: >130
+    # core-seconds of Shuffle Write Time per 400k-clip pipeline pass, flat
+    # with parallelism).  tmpfs is the honest local stand-in for
+    # per-executor disks: RAM bandwidth is the resource a cluster actually
+    # scales per node.  Override with TSN_LOCAL_DIR; set to "" to keep the
+    # Spark default.
+    local_dir = os.environ.get("TSN_LOCAL_DIR", "/dev/shm/tsn-spark")
+    if local_dir and os.path.isdir(os.path.dirname(local_dir) or "/"):
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -101,6 +114,8 @@ def get_spark(
         # measured harmful as a default on this host — see _jvm_fault_opts.
         .config("spark.driver.extraJavaOptions", _jvm_fault_opts())
     )
+    if local_dir and os.path.isdir(local_dir):
+        builder = builder.config("spark.local.dir", local_dir)
     iceberg_jars = os.environ.get("TSN_ICEBERG_JARS")
     if iceberg_jars:
         builder = (
