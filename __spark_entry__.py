@@ -5391,6 +5391,59 @@ FROM members m JOIN estats s ON m.cluster_id = s.cluster_id
 """
 
 
+def q95_suffix_array_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed suffix array (operators/suffix_array.py — Manber-Myers
+    prefix doubling as DataFrame ops): exact doc pairs sharing any 40-
+    codepoint substring.  The north rule's literal "suffix-array substring
+    pass": O(log L) range-exchange doublings build corpus-wide suffix
+    ranks (no global-order window anywhere — scalable two-pass dense
+    rank), one fixed-length refinement keys every full 40-char window by
+    two overlapping depth-d ranks, and equal key <=> equal 40-gram, so
+    recall and precision are 1.0 by construction.  Unlike the winnowing
+    pass (q18, sampled fingerprints with a guarantee window) or span
+    dedup (q88, fixed token width), the threshold here is an exact
+    codepoint length with no tuning window.  Corpus: documents plus the
+    first-60-char slice of every doc_id % 7 == 0 doc at doc_id+6_000_000
+    — each plant shares its 21 full windows with its source; organic
+    exact-dup texts pair too.  The DuckDB oracle restates the pass as a
+    40-gram self-join, which the suffix-array construction must agree
+    with exactly."""
+    from text_similarity_node_spark.operators.suffix_array import (
+        repeated_substring_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),
+        F.substring("text", 1, 60).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    pairs, _metrics, _info = repeated_substring_pairs(
+        corpus, "doc_id", "text", min_len=40
+    )
+    return pairs.orderBy("doc_id_1", "doc_id_2")
+
+
+_Q95_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 6000000, substr(text, 1, 60) FROM documents
+  WHERE doc_id % 7 = 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(text, i, 40) AS g
+  FROM corpus,
+       LATERAL (SELECT unnest(generate_series(1, len(text) - 39)) AS i)
+  WHERE len(text) >= 40
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5497,6 +5550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_minhash_estimator_audit": q92_minhash_estimator_audit,
         "q93_threshold_sweep": q93_threshold_sweep,
         "q94_cluster_quality": q94_cluster_quality,
+        "q95_suffix_array_repeats": q95_suffix_array_repeats,
     }
 
 
@@ -5595,6 +5649,7 @@ def oracle_sql() -> dict[str, str]:
         "q92_minhash_estimator_audit": _Q92_SQL,
         "q93_threshold_sweep": _Q93_SQL,
         "q94_cluster_quality": _Q94_SQL,
+        "q95_suffix_array_repeats": _Q95_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -20,10 +20,13 @@ DuckDB oracle can restate it verbatim; at 100 TB the key is a 64-bit
 rolling hash of the window (xxhash64 column — same plan, 8-byte keys) and
 the per-window count uses map-side partial aggregation.  The interval
 merge is a per-doc sort inside a window function — Spark executes it
-within the doc's partition after one hash exchange on doc_id.  Suffix
-arrays (the paper's single-node construction) don't distribute; the
-sliding-window formulation is the standard Spark re-expression and finds
-exactly the same >= W-token repeats.
+within the doc's partition after one hash exchange on doc_id.  The
+paper's own suffix-array construction is single-node; the sliding-window
+formulation finds exactly the same >= W-token repeats in one shuffle.
+(When the corpus genuinely needs suffix ORDER — arbitrary-length exact
+thresholds, longest-repeat queries — `operators/suffix_array.py` builds
+the suffix array distributively via prefix doubling, at the cost of
+log2(L) exchanges instead of this pass's one.)
 
 Reference ground: substring containment semantics sit next to the
 reference's sequence kernels (/root/reference/src/algorithms/ — LCS
