@@ -5444,6 +5444,81 @@ ORDER BY 1, 2
 """
 
 
+def q96_snippet_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-snippet audio retrieval with OFFSET recovery
+    (operators/audio_fp.py:snippet_containment, Wang 2003 offset-
+    histogram voting) — the capability the pairwise fingerprint family
+    (q32 content, q51 shift, q52 rate, q71 gain) doesn't cover: given a
+    short excerpt, find WHICH catalog clip contains it and WHERE.  The
+    audio analogue of the exact-substring text tier (q88/q95), localized
+    instead of pairwise.
+
+    Corpus: deterministic 8-segment "tracks" (segment s of track c plays
+    200 + c*8 + s Hz — globally unique per (track, segment); doc_id <
+    800 keeps every frequency under Nyquist and unique) plus byte-exact
+    3-segment snippets at doc_id + 1_000_000 for doc_id % 4 == 0, cut at
+    segment offset doc_id % 6.  The oracle is the planted truth from id
+    arithmetic; Spark must recover parent AND offset from the waveforms
+    alone.  Exactness: unique frequencies mean a snippet shares landmark
+    hashes ONLY with its parent, and the hop-aligned slice (segment =
+    8192 samples = 4 hops) makes snippet frame k sample-identical to
+    parent frame k + 4*offset, so the vote histogram's strict argmax
+    sits at the true offset — segment-transition hashes occur at exactly
+    one anchor frame each, so no other dt can tie."""
+    from text_similarity_node_spark.operators.audio import (
+        synth_track_pcm_udf,
+    )
+    from text_similarity_node_spark.operators.audio_fp import (
+        snippet_containment,
+    )
+
+    base = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 800)
+    )
+    snips = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_track_pcm_udf()
+
+    def _mat(df: DataFrame) -> DataFrame:
+        # spread the collapsed id scan before synthesizing 128 KB/track
+        # payloads (same rationale as q50/q51)
+        return (
+            df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .withColumn("bytes", synth(F.col("doc_id")))
+            .withColumn("sr_hz", F.lit(16000))
+        )
+
+    best = snippet_containment(
+        _mat(snips),
+        _mat(base),
+        id_col="doc_id",
+        bytes_col="bytes",
+        min_votes=4,
+        frame_len=4096,
+        hop=2048,
+        peaks_per_frame=1,
+        fanout=2,
+        freq_quant_hz=1.0,
+    )
+    return best.select(
+        "snippet_id",
+        "clip_id",
+        (F.col("offset_frames") / 4).cast("int").alias("offset_seg"),
+    )
+
+
+_Q96_SQL = """
+SELECT doc_id + 1000000 AS snippet_id,
+       doc_id AS clip_id,
+       (doc_id % 6)::INT AS offset_seg
+FROM documents
+WHERE doc_id % 4 = 0 AND doc_id < 800
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5551,6 +5626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_threshold_sweep": q93_threshold_sweep,
         "q94_cluster_quality": q94_cluster_quality,
         "q95_suffix_array_repeats": q95_suffix_array_repeats,
+        "q96_snippet_retrieval": q96_snippet_retrieval,
     }
 
 
@@ -5650,6 +5726,7 @@ def oracle_sql() -> dict[str, str]:
         "q93_threshold_sweep": _Q93_SQL,
         "q94_cluster_quality": _Q94_SQL,
         "q95_suffix_array_repeats": _Q95_SQL,
+        "q96_snippet_retrieval": _Q96_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

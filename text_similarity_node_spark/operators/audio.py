@@ -298,6 +298,52 @@ def synth_melody_pcm_udf(
     return udf
 
 
+def synth_track_pcm_udf(
+    sr_hz: int = 16000,
+    seg_len: int = 8192,
+    n_segments: int = 8,
+    snip_segments: int = 3,
+    base_hz: float = 200.0,
+    amp: float = 0.4,
+):
+    """Deterministic multi-segment "track" pcm_s16le per id (the q96
+    retrieval fixture): segment s of track c plays base_hz +
+    (c*n_segments + s) Hz — a GLOBALLY UNIQUE frequency per (track,
+    segment), so distinct tracks share no spectral content at all and
+    any cross-track landmark match is a bug, not a collision (which is
+    what makes the retrieval operator's precision exactly auditable).
+    Ids >= 1_000_000 are SNIPPETS: the byte-exact slice of parent
+    c = id - 1_000_000 covering ``snip_segments`` segments starting at
+    segment offset c % (n_segments - snip_segments + 1) — a true
+    substring of the parent waveform at a content-determined position
+    (computed by slicing the full synthesized track, so snippet samples
+    are bit-identical to the parent span).  Caller must keep
+    base_hz + c*n_segments + n_segments below Nyquist (c < 974 with the
+    defaults at 16 kHz)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        n_off = n_segments - snip_segments + 1
+        total = seg_len * n_segments
+        i = np.arange(total, dtype=np.float64)
+        seg = np.arange(total) // seg_len
+        for d in doc_id:
+            d = int(d)
+            c = d - 1_000_000 if d >= 1_000_000 else d
+            freq = base_hz + (c * n_segments + seg)
+            x = amp * np.sin(2.0 * np.pi * freq * i / sr_hz)
+            if d >= 1_000_000:
+                o = c % n_off
+                x = x[o * seg_len : (o + snip_segments) * seg_len]
+            out.append(
+                np.clip(x * 32767.0, -32768, 32767).astype("<i2").tobytes()
+            )
+        return pd.Series(out)
+
+    return udf
+
+
 def _design_lowpass(fc: float, taps: int) -> np.ndarray:
     """Linear-phase windowed-sinc FIR low-pass; fc in cycles/sample, odd
     taps (symmetric kernel => np.convolve(mode='same') is group-delay

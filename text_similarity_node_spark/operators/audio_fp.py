@@ -131,6 +131,149 @@ def audio_landmarks_udf(
     return udf
 
 
+def audio_landmarks_timed_udf(
+    frame_len: int = 4096,
+    hop: int = 2048,
+    peaks_per_frame: int = 2,
+    fanout: int = 3,
+    freq_quant_hz: float = 1.0,
+):
+    """(bytes pcm_s16le, sr_hz) -> array<struct<h:bigint, t:int>>: the
+    same landmark hashes as ``audio_landmarks_udf`` with each hash's
+    ANCHOR FRAME index attached (distinct (h, t) pairs; a hash repeating
+    at several anchors keeps every anchor).  The time channel is what
+    retrieval needs that dedup doesn't: matching a snippet against a
+    catalog is a vote over t_catalog - t_snippet (Wang 2003's offset
+    histogram), so landmark times must survive the explode."""
+    if fanout > _MAX_DT:
+        raise ValueError(f"fanout must be <= {_MAX_DT} (hash packing)")
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("h", T.LongType()),
+                    T.StructField("t", T.IntegerType()),
+                ]
+            )
+        )
+    )
+    def udf(payload: pd.Series, sr_hz: pd.Series) -> pd.Series:
+        out = []
+        for b, sr in zip(payload, sr_hz):
+            if b is None or sr is None or len(b) < 2 * frame_len:
+                out.append([])
+                continue
+            x = decode_pcm_s16le(b)
+            peaks = _frame_peaks(
+                x, frame_len, hop, peaks_per_frame, freq_quant_hz, float(sr)
+            )
+            lts: set[tuple[int, int]] = set()
+            for t1, p1 in enumerate(peaks):
+                for i in range(len(p1)):
+                    for j in range(i + 1, len(p1)):
+                        lo, hi = sorted((int(p1[i]), int(p1[j])))
+                        lts.add((lo * _F1_SHIFT + hi * _F2_SHIFT, t1))
+                for dt in range(1, fanout + 1):
+                    if t1 + dt >= len(peaks):
+                        break
+                    for f1 in p1:
+                        for f2 in peaks[t1 + dt]:
+                            lts.add(
+                                (
+                                    int(f1) * _F1_SHIFT + int(f2) * _F2_SHIFT + dt,
+                                    t1,
+                                )
+                            )
+            out.append([{"h": h, "t": t} for h, t in sorted(lts)])
+        return pd.Series(out)
+
+    return udf
+
+
+def snippet_containment(
+    snippets: DataFrame,
+    catalog: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    min_votes: int = 4,
+    hash_cap: int = 64,
+    return_metrics: bool = False,
+    **landmark_kwargs,
+):
+    """Query-by-snippet audio retrieval (Wang 2003 offset voting): for
+    each snippet, WHICH catalog clip contains it and the FRAME OFFSET
+    where it starts.  This is the capability the pairwise fingerprint
+    dedup (``audio_fingerprint_pairs``) doesn't give: there the output
+    is an unordered dup pair; here it's a localized containment —
+    (snippet_id, clip_id, offset_frames, votes), one row per snippet
+    that clears ``min_votes`` (strict argmax over (clip, offset) vote
+    counts, ties broken by clip_id then offset for determinism).
+
+    Mechanics: timed landmarks on both sides; hashes held by more than
+    ``hash_cap`` DISTINCT catalog clips (silence / test-tone boilerplate)
+    are dropped with metrics, never silently (``return_metrics=True``
+    also returns the (h, n_docs) drop table — same no-silent-caps policy
+    as the pairwise path); equi-join on the hash; votes grouped by
+    (snippet_id, clip_id, t_catalog - t_snippet).  A true containment
+    aligns EVERY shared landmark at one offset, so its vote count is the
+    snippet's full landmark mass while wrong offsets collect only the
+    self-similar stragglers — the histogram peak is the match.
+
+    Scale shape: the catalog explodes to ~tens of (h, t) rows per clip
+    (the BLOB never shuffles), is persisted for the cap-count + probe
+    reuse, and joins the (typically much smaller) snippet side on the
+    hash key; the vote aggregation is one shuffle on (snippet, clip,
+    offset) with map-side combine, and the per-snippet argmax is a
+    window on snippet_id.  Hot-hash skew is cut by the cap before the
+    join, the same defense as every other candidate-generation stage."""
+    from pyspark.sql import Window
+
+    lm = audio_landmarks_timed_udf(**landmark_kwargs)
+    cat = (
+        catalog.select(
+            F.col(id_col).alias("clip_id"),
+            F.explode(lm(F.col(bytes_col), F.col(sr_col))).alias("lt"),
+        )
+        .select("clip_id", F.col("lt.h").alias("h"), F.col("lt.t").alias("tc"))
+        .distinct()
+    )
+    cat = cat.persist()
+    counts = cat.groupBy("h").agg(F.countDistinct("clip_id").alias("n_docs"))
+    hot = counts.filter(F.col("n_docs") > hash_cap)
+    kept = cat.join(F.broadcast(hot.select("h")), "h", "left_anti")
+    snp = (
+        snippets.select(
+            F.col(id_col).alias("snippet_id"),
+            F.explode(lm(F.col(bytes_col), F.col(sr_col))).alias("lt"),
+        )
+        .select("snippet_id", F.col("lt.h").alias("h"), F.col("lt.t").alias("ts"))
+        .distinct()
+    )
+    votes = (
+        snp.join(kept, "h")
+        .groupBy(
+            "snippet_id",
+            "clip_id",
+            (F.col("tc") - F.col("ts")).alias("offset_frames"),
+        )
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .filter(F.col("votes") >= min_votes)
+    )
+    w = Window.partitionBy("snippet_id").orderBy(
+        F.col("votes").desc(), F.col("clip_id"), F.col("offset_frames")
+    )
+    best = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if return_metrics:
+        return best, hot
+    return best
+
+
 def audio_fingerprint_pairs(
     df: DataFrame,
     id_col: str,
