@@ -2,8 +2,9 @@
 
 Runs only when ``TSN_ICEBERG_JARS`` points at the Iceberg Spark runtime
 jar(s).  BLOCKER (round 2, 2026-08-17; re-verified round 3 on 2026-08-17,
-2026-08-18, and 2026-08-19: repo1.maven.org still does not resolve, no
-iceberg*runtime*.jar anywhere on the filesystem): this sandbox ships no
+2026-08-18, 2026-08-19, and 2026-08-20 — full-filesystem find: no
+iceberg/delta/hudi jar anywhere, incl. /opt/spark-4.1.2-bin-hadoop3/jars,
+and no network egress): this sandbox ships no
 Iceberg jar
 (pyspark's 287 bundled jars contain none — checked) and has no network
 egress (repo1.maven.org does not resolve), so the jar cannot be vendored
