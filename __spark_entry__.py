@@ -5519,6 +5519,90 @@ WHERE doc_id % 4 = 0 AND doc_id < 800
 """
 
 
+def q97_quality_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted keep policy over near-dup clusters — "keep the
+    BEST member, not the first" (the curation rule quality-ranked
+    pipelines apply where min-id canonicalization would throw away the
+    cleanest copy).  Clusters are q94's: exact word-Jaccard >= 0.9
+    same-lang edges from the prefix-filter join, connected components.
+    Near-dup members differ slightly in text, so a content quality
+    metric breaks the tie meaningfully: the keeper is the member with
+    the largest alpha-character mass (an exact BIGINT — no float enters
+    the comparison), ties broken by doc_id.  Output: one row per cluster
+    member (doc_id, cluster_id, keeper_id, keep); the DuckDB oracle
+    re-derives the clusters with the recursive reachability CTE and the
+    keeper with the same deterministic window, so the whole policy —
+    candidate join, iterative CC, and argmax — is hash-checked
+    end-to-end."""
+    from pyspark.sql import Window
+
+    from text_similarity_node_spark.operators.components import (
+        connected_components,
+    )
+    from text_similarity_node_spark.operators.simjoin import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", C.word_tokens(F.col("text")).alias("toks"),
+        F.length(
+            F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")
+        ).cast("long").alias("alpha"),
+    )
+    pairs = prefix_filter_jaccard_join(
+        docs, "doc_id", "toks", threshold=0.9, group_cols=["lang"]
+    )
+    cc = connected_components(pairs.select("id1", "id2"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("alpha").desc(), F.col("doc_id")
+    )
+    assigned = cc.select(F.col("clip_id").alias("doc_id"), "cluster_id").join(
+        docs.select("doc_id", "alpha"), "doc_id"
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        F.first("doc_id").over(w).alias("keeper_id"),
+    ).withColumn(
+        "keep", (F.col("doc_id") == F.col("keeper_id")).cast("int")
+    )
+
+
+_Q97_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, list_distinct(regexp_extract_all(text, '\w+')) AS toks
+  FROM documents
+),
+edges AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM edges
+        UNION SELECT id2, id1 FROM edges),
+reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+clus AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+qual AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha
+  FROM documents
+)
+SELECT c.doc_id, c.cluster_id,
+       first_value(c.doc_id) OVER (
+         PARTITION BY c.cluster_id ORDER BY q.alpha DESC, c.doc_id
+       ) AS keeper_id,
+       (c.doc_id = first_value(c.doc_id) OVER (
+         PARTITION BY c.cluster_id ORDER BY q.alpha DESC, c.doc_id
+       ))::INT AS keep
+FROM clus c JOIN qual q USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5627,6 +5711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_cluster_quality": q94_cluster_quality,
         "q95_suffix_array_repeats": q95_suffix_array_repeats,
         "q96_snippet_retrieval": q96_snippet_retrieval,
+        "q97_quality_keep_policy": q97_quality_keep_policy,
     }
 
 
@@ -5727,6 +5812,7 @@ def oracle_sql() -> dict[str, str]:
         "q94_cluster_quality": _Q94_SQL,
         "q95_suffix_array_repeats": _Q95_SQL,
         "q96_snippet_retrieval": _Q96_SQL,
+        "q97_quality_keep_policy": _Q97_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

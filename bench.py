@@ -135,6 +135,11 @@ def bench_default():
         "q10_embedding_cosine_topk",
         "q16_minhash_lsh_pairs",
         "q37_ngram_jaccard_scale",
+        # audio retrieval: snippet -> (parent clip, offset) via timed
+        # landmarks + offset voting; corpus capped at 800 tracks by the
+        # fixture's unique-frequency contract, so this measures the
+        # operator at fixed input, not sf-scaled input
+        "q96_snippet_retrieval",
     ]
     qmap = entry.queries()
     # best-of-2 per entry with a cache clear between passes: the sandbox
