@@ -5603,6 +5603,98 @@ FROM clus c JOIN qual q USING (doc_id)
 """
 
 
+def q98_audio_duration_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted audio dedup savings — the headline number a
+    speech-corpus curation team reads: how many clips and how many
+    MILLISECONDS OF AUDIO the near-dup pass removes vs keeps.  Unlike
+    q83 (token/char mass over text), the mass here is derived from the
+    PAYLOAD ITSELF (`length(bytes)/32` ms at 16 kHz pcm_s16le), never
+    from trusted metadata — mis-labeled durations are exactly what a
+    real pipeline must not bill by.  Corpus: q32's planted family with
+    VARIABLE durations (12000 + (id%400)*16 samples, so copies share
+    their source's exact length); the spectral-landmark pass recovers
+    the mod-400 recording identity from the waveforms (recall/precision
+    1.0 on this family, q32), CC assigns min-id clusters, keeper = the
+    cluster label itself, and the 2-row rollup sums exact integer ms per
+    tier (0 kept / 2 near-dup removed).  Scale: the BLOB is consumed
+    where produced (landmark UDF + one length()), only 8-byte ids and
+    hashes shuffle; the rollup is a map-side-combinable 2-row
+    aggregate."""
+    from text_similarity_node_spark.operators.audio import (
+        synth_sine_vardur_pcm_udf,
+    )
+    from text_similarity_node_spark.operators.audio_fp import (
+        audio_fingerprint_pairs,
+    )
+    from text_similarity_node_spark.operators.components import (
+        connected_components,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_sine_vardur_pcm_udf()
+    corpus = (
+        base.unionByName(copies)
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    durs = corpus.select(
+        "doc_id", (F.length("bytes") / 32).cast("long").alias("dur_ms")
+    )
+    pairs = audio_fingerprint_pairs(
+        corpus,
+        "doc_id",
+        "bytes",
+        min_matches=2,
+        frame_len=4096,
+        hop=2048,
+        peaks_per_frame=1,
+        fanout=2,
+        freq_quant_hz=1.0,
+    )
+    cc = connected_components(pairs.select("id1", "id2"))
+    assigned = durs.join(
+        cc.select(F.col("clip_id").alias("doc_id"), "cluster_id"),
+        "doc_id",
+        "left",
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    return (
+        assigned.withColumn(
+            "tier",
+            F.when(F.col("doc_id") == F.col("cluster_id"), 0)
+            .otherwise(2)
+            .cast("int"),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("dur_ms").alias("total_ms"),
+        )
+        .orderBy("tier")
+    )
+
+
+_Q98_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 6 = 0
+),
+cl AS (
+  SELECT doc_id,
+         (750 + doc_id % 400)::BIGINT AS dur_ms,
+         min(doc_id) OVER (PARTITION BY doc_id % 400) AS keeper
+  FROM corpus
+)
+SELECT (CASE WHEN doc_id = keeper THEN 0 ELSE 2 END)::INT AS tier,
+       count(*)::BIGINT AS n_clips,
+       sum(dur_ms)::BIGINT AS total_ms
+FROM cl GROUP BY 1 ORDER BY tier
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5712,6 +5804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_suffix_array_repeats": q95_suffix_array_repeats,
         "q96_snippet_retrieval": q96_snippet_retrieval,
         "q97_quality_keep_policy": q97_quality_keep_policy,
+        "q98_audio_duration_savings": q98_audio_duration_savings,
     }
 
 
@@ -5813,6 +5906,7 @@ def oracle_sql() -> dict[str, str]:
         "q95_suffix_array_repeats": _Q95_SQL,
         "q96_snippet_retrieval": _Q96_SQL,
         "q97_quality_keep_policy": _Q97_SQL,
+        "q98_audio_duration_savings": _Q98_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -184,6 +184,39 @@ def synth_sine1s_pcm_udf(sr_hz: int = 16000, amp: float = 0.5,
     return udf
 
 
+def synth_sine_vardur_pcm_udf(sr_hz: int = 16000, amp: float = 0.5,
+                              jitter_amp: float = 0.008):
+    """Variable-DURATION variant of :func:`synth_sine1s_pcm_udf`: the clip
+    for id ``d`` is ``12000 + (d % 400) * 16`` samples of a
+    ``100 + d % 400`` Hz sine (0.75-1.15 s at 16 kHz).  Duration is keyed
+    by the same mod-400 congruence as frequency, so a noisy copy
+    (id >= 1_000_000, seeded jitter ~ SNR 34 dB) has EXACTLY its source's
+    length — the "same recording" contract holds — and the sample count is
+    divisible by 16, so duration in ms is the exact integer
+    ``len(bytes) / 32``.  Used by the duration-weighted dedup-savings
+    query, where audio-hours removed must be derived from the payload
+    itself, not trusted metadata."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            k = d % 400
+            freq = 100.0 + k
+            n = 12000 + k * 16
+            t = np.arange(n) / float(sr_hz)
+            x = amp * np.sin(2.0 * np.pi * freq * t)
+            if d >= 1_000_000:
+                x = x + jitter_amp * np.random.RandomState(d % 2**31).randn(n)
+            out.append(
+                np.clip(x * 32767.0, -32768, 32767).astype("<i2").tobytes()
+            )
+        return pd.Series(out)
+
+    return udf
+
+
 #: int16 sample magnitude treated as "clipped" (symmetric full scale).
 CLIP_LEVEL = 32767
 #: |sample| below this (~1% of full scale) counts as silence.
