@@ -141,3 +141,33 @@ def test_landmarks_shift_invariant_on_nonstationary_clip(spark):
     h = {r.doc_id: set(r.h) for r in rows}
     assert len(h[5] & h[1_000_005]) >= 2   # shift survives
     assert not (h[5] & h[17])              # classes stay disjoint
+
+
+def test_vardur_synth_contract(spark):
+    """The variable-duration synth behind the q98 savings report: sample
+    count divisible by 16 (so ms = len(bytes)/32 is exact), a noisy copy
+    has EXACTLY its source's length, and the copy stays within the
+    generator's SNR >= 30 dB 'same recording' bound."""
+    import numpy as np
+    import pandas as pd
+
+    from text_similarity_node_spark.operators.audio import (
+        snr_db,
+        synth_sine_vardur_pcm_udf,
+    )
+
+    ids = [7, 1_000_007, 399, 1_000_399, 0, 1_000_000]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids})).select(
+        "doc_id", synth_sine_vardur_pcm_udf()(F.col("doc_id")).alias("bytes")
+    )
+    b = {r.doc_id: r.bytes for r in df.collect()}
+    for d, payload in b.items():
+        n = len(payload) // 2
+        assert n == 12000 + (d % 400) * 16
+        assert len(payload) % 32 == 0
+    for base in (7, 399, 0):
+        copy = base + 1_000_000
+        assert len(b[base]) == len(b[copy])
+        ref = np.frombuffer(b[base], dtype="<i2").astype(np.float64)
+        tst = np.frombuffer(b[copy], dtype="<i2").astype(np.float64)
+        assert snr_db(ref, tst) >= 30.0
