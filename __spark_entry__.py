@@ -5695,6 +5695,146 @@ FROM cl GROUP BY 1 ORDER BY tier
 """
 
 
+def q99_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filter (Gopher-family quality gate, Rae
+    et al. 2021 §A1.1): per doc, the fraction of word-5-gram occurrences
+    that are duplicates and the occurrence share of the most frequent
+    word-2-gram, both in exact integer-micro; `repetitive` fires at the
+    Gopher-style thresholds (dup-5-gram ≥ 0.15 OR top-2-gram ≥ 0.18 —
+    occurrence-fraction simplification of the paper's char-fraction
+    variant, documented).  Self-repeating documents (lyrics loops,
+    scraper stutter, template spam) slip past CORPUS-level dedup because
+    they duplicate nobody but themselves — this is the per-doc gate that
+    catches them before training.
+
+    vs q43_repetition_stats: q43 reports the duplicate-WORD fraction and
+    routes its top-bigram through an exploded (doc_id, bigram) groupBy —
+    one shuffle.  q99 is the scale-shaped registration of the family
+    (the q04-vs-q37 pattern): longer grams (5-gram stutter, which
+    duplicate-word fraction cannot see — word-soup text has high word
+    reuse but no phrase reuse), and NO exchange at all — the mode count
+    comes from a max-run fold over the row's own sorted gram array.
+
+    Corpus: doc_id % 7 == 0 docs get their first 40 chars appended 6
+    times (the stutter plant, restated verbatim by the oracle); at
+    sf0.01 all 72 planted docs flag and none of the 428 others do.
+
+    Scale: ZERO exchanges — both metrics are computed inside one
+    projection over the scan.  5-gram duplication is
+    `size(g) - size(array_distinct(g))` on the per-row gram array; the
+    top-2-gram count is a max-run-length fold over the row's SORTED gram
+    array via `aggregate` (no explode, no groupBy — the corpus-wide
+    gram space never materializes).  All expressions are JVM
+    whole-stage-codegen; per-row work is O(len·log len) in the doc's own
+    word count, so executors stream partitions at scan speed and the
+    plan is embarrassingly parallel at any corpus size."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    derived = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 0 THEN concat(text, "
+            "repeat(concat(' ', substring(text, 1, 40)), 6)) "
+            "ELSE text END"
+        ).alias("text"),
+    )
+    base = (
+        derived.select(
+            "doc_id",
+            F.expr(r"regexp_extract_all(text, '\\w+', 0)").alias("words"),
+        )
+        .withColumn("n_words", F.size("words").cast("long"))
+        .filter(F.col("n_words") >= 5)
+    )
+    g = base.select(
+        "doc_id",
+        "n_words",
+        F.expr(
+            "transform(sequence(1, cast(n_words as int) - 4), "
+            "i -> concat_ws(' ', slice(words, i, 5)))"
+        ).alias("g5"),
+        F.expr(
+            "sort_array(transform(sequence(1, cast(n_words as int) - 1), "
+            "i -> concat_ws(' ', slice(words, i, 2))))"
+        ).alias("g2s"),
+    )
+    return (
+        g.select(
+            "doc_id",
+            "n_words",
+            F.expr(
+                "((size(g5) - size(array_distinct(g5))) * 1000000L) div size(g5)"
+            ).alias("dup5_frac_micro"),
+            # max run length over the sorted 2-gram array == the mode's
+            # occurrence count — a pure fold, no per-doc hash map
+            F.expr(
+                "aggregate(g2s, "
+                "named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L), "
+                "(acc, x) -> named_struct("
+                "  'prev', x, "
+                "  'run', if(x <=> acc.prev, acc.run + 1L, 1L), "
+                "  'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))), "
+                "acc -> acc.best)"
+            ).alias("top2_count"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "dup5_frac_micro",
+            "top2_count",
+            F.expr("(top2_count * 1000000L) div (n_words - 1)").alias(
+                "top2_frac_micro"
+            ),
+        )
+        .select(
+            "*",
+            F.expr(
+                "dup5_frac_micro >= 150000 OR top2_frac_micro >= 180000"
+            ).alias("repetitive"),
+        )
+    )
+
+
+_Q99_SQL = r"""
+WITH derived AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN concat(text, repeat(concat(' ', substring(text, 1, 40)), 6))
+              ELSE text END AS text
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\w+') AS words,
+         len(regexp_extract_all(text, '\w+'))::BIGINT AS n_words
+  FROM derived
+  WHERE len(regexp_extract_all(text, '\w+')) >= 5
+), g5t AS (
+  SELECT doc_id, n_words,
+         list_transform(range(1, n_words::INT - 3),
+                        i -> array_to_string(words[i:i+4], ' ')) AS g5
+  FROM base
+), dup AS (
+  SELECT doc_id, n_words,
+         ((len(g5) - len(list_distinct(g5)))::BIGINT * 1000000
+           // len(g5)::BIGINT)::BIGINT AS dup5_frac_micro
+  FROM g5t
+), g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, n_words::INT),
+                i -> array_to_string(words[i:i+1], ' '))) AS gram
+  FROM base
+), top2 AS (
+  SELECT doc_id, max(c)::BIGINT AS top2_count FROM (
+    SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_words, d.dup5_frac_micro, t.top2_count,
+       (t.top2_count * 1000000 // (d.n_words - 1))::BIGINT AS top2_frac_micro,
+       (d.dup5_frac_micro >= 150000 OR
+        (t.top2_count * 1000000 // (d.n_words - 1)) >= 180000) AS repetitive
+FROM dup d JOIN top2 t USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5805,6 +5945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_snippet_retrieval": q96_snippet_retrieval,
         "q97_quality_keep_policy": q97_quality_keep_policy,
         "q98_audio_duration_savings": q98_audio_duration_savings,
+        "q99_repetition_filter": q99_repetition_filter,
     }
 
 
@@ -5907,6 +6048,7 @@ def oracle_sql() -> dict[str, str]:
         "q96_snippet_retrieval": _Q96_SQL,
         "q97_quality_keep_policy": _Q97_SQL,
         "q98_audio_duration_savings": _Q98_SQL,
+        "q99_repetition_filter": _Q99_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
