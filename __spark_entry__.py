@@ -5835,6 +5835,107 @@ FROM dup d JOIN top2 t USING (doc_id)
 """
 
 
+def q100_wer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level WER (word error rate) audit — THE speech-pipeline
+    regression metric: when a new ASR version re-transcribes the corpus,
+    per-clip WER against the previous transcript decides which clips'
+    labels actually changed (re-review) vs drifted cosmetically (keep).
+    The reference's Levenshtein (kernel #0, edit_based.cpp) is
+    codepoint-level; WER needs it at WORD level.  Rather than a Python
+    DP over token arrays, each pair dictionary-encodes its own union
+    vocabulary to single codepoints (vocab here is 31 words, far under
+    the 190-symbol ASCII-safe bound asserted below) — then Spark's JVM
+    `levenshtein` built-in IS token-level edit distance, whole-stage
+    codegen, and DuckDB's editdist3 restates it exactly.
+
+    Corpus: v2 re-transcription derived from v1 (the doc text) with two
+    planted regimes — doc_id % 3 == 0 gets heavy drift (every 9th word
+    dropped, every 7th surviving word substituted, ~24% WER), the rest
+    light drift (every 25th word substituted, ~4%).  `high_wer` fires
+    at 0.20: at sf0.01 exactly the 167 heavy-regime docs flag.
+
+    Scale: zero exchanges — encode + levenshtein is one projection over
+    the scan (map-only, embarrassingly parallel); per-row cost is
+    O(n*m) in the clip's OWN transcript length, the same contract the
+    reference documents for its kernel.  The banded variant
+    (columns.levenshtein_similarity_banded) is the drop-in if a
+    threshold bound is known a priori."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select(
+            "doc_id", F.expr(r"regexp_extract_all(text, '\\w+', 0)").alias("v1")
+        )
+        .filter(F.size("v1") >= 9)
+        # heavy: delete every 9th word, substitute every 7th survivor;
+        # light: substitute every 25th word (Spark lambda index is
+        # 0-based; the oracle's DuckDB lambdas are 1-based — both spell
+        # "1-based position p with p % k == 0")
+        .withColumn(
+            "v2",
+            F.expr(
+                "CASE WHEN doc_id % 3 = 0 THEN "
+                "transform(filter(v1, (x, i) -> (i + 1) % 9 != 0), "
+                "          (x, i) -> if((i + 1) % 7 = 0, concat('zz', x), x)) "
+                "ELSE transform(v1, (x, i) -> if((i + 1) % 25 = 0, concat('zz', x), x)) "
+                "END"
+            ),
+        )
+        .withColumn("vocab", F.expr("array_distinct(concat(v1, v2))"))
+        # char(64 + pos) stays printable-ASCII while |vocab| <= 190; the
+        # guard lives INSIDE the evaluated expression (a free-standing
+        # assert column would be pruned by Catalyst and never run) so a
+        # future corpus can't silently wrap at char(256)
+        .withColumn(
+            "e1",
+            F.expr(
+                "if(size(vocab) <= 190, "
+                "concat_ws('', transform(v1, x -> char(64 + array_position(vocab, x)))), "
+                "raise_error('q100: pair vocabulary exceeds single-codepoint encoding bound'))"
+            ),
+        )
+        .withColumn(
+            "e2",
+            F.expr("concat_ws('', transform(v2, x -> char(64 + array_position(vocab, x))))"),
+        )
+        .select(
+            "doc_id",
+            F.size("v1").cast("long").alias("n_ref_words"),
+            F.expr("cast(levenshtein(e1, e2) as bigint)").alias("word_edits"),
+        )
+        .select("*", F.expr("(word_edits * 1000000L) div n_ref_words").alias("wer_micro"))
+        .select("*", F.expr("wer_micro >= 200000").alias("high_wer"))
+    )
+
+
+_Q100_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '\w+') AS v1
+  FROM documents WHERE len(regexp_extract_all(text, '\w+')) >= 9
+), corr AS (
+  SELECT doc_id, v1,
+         CASE WHEN doc_id % 3 = 0 THEN
+           list_transform(list_filter(v1, (x, i) -> i % 9 != 0),
+                          (x, i) -> CASE WHEN i % 7 = 0 THEN 'zz' || x ELSE x END)
+         ELSE
+           list_transform(v1, (x, i) -> CASE WHEN i % 25 = 0 THEN 'zz' || x ELSE x END)
+         END AS v2
+  FROM base
+), enc AS (
+  SELECT doc_id, v1, v2, list_distinct(list_concat(v1, v2)) AS vocab FROM corr
+), s AS (
+  SELECT doc_id,
+         len(v1)::BIGINT AS n_ref_words,
+         array_to_string(list_transform(v1, x -> chr(64 + list_position(vocab, x))), '') AS e1,
+         array_to_string(list_transform(v2, x -> chr(64 + list_position(vocab, x))), '') AS e2
+  FROM enc
+)
+SELECT doc_id, n_ref_words, editdist3(e1, e2)::BIGINT AS word_edits,
+       (editdist3(e1, e2)::BIGINT * 1000000 // n_ref_words)::BIGINT AS wer_micro,
+       (editdist3(e1, e2)::BIGINT * 1000000 // n_ref_words) >= 200000 AS high_wer
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5946,6 +6047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_quality_keep_policy": q97_quality_keep_policy,
         "q98_audio_duration_savings": q98_audio_duration_savings,
         "q99_repetition_filter": q99_repetition_filter,
+        "q100_wer_audit": q100_wer_audit,
     }
 
 
@@ -6049,6 +6151,7 @@ def oracle_sql() -> dict[str, str]:
         "q97_quality_keep_policy": _Q97_SQL,
         "q98_audio_duration_savings": _Q98_SQL,
         "q99_repetition_filter": _Q99_SQL,
+        "q100_wer_audit": _Q100_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
