@@ -5936,6 +5936,61 @@ FROM s
 """
 
 
+def q101_audio_stretch_profile_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-STRETCH robustness tier of the audio-dedup family — the
+    corruption q51 (shift), q52 (resample), and q71 (gain) do NOT cover:
+    playback-speed/pitch change moves every landmark (f1, f2, dt)
+    component by the stretch factor and breaks the constellation hash
+    exactly, so this tier matches on the |rFFT| band-energy PROFILE
+    instead (operators/audio_fp.spectral_profile_udf: phase- and
+    shift-invariant by construction; log-spaced bands of ~5.9%
+    half-width absorb the +-3% stretch).  Candidates come from the
+    deterministic dominant-band signature join (top-2 band set as the
+    equi-join key, hot keys metered — audio_profile_pairs), precision
+    from the exact full-profile cosine (reference kernel #9 semantics,
+    /root/reference/src/algorithms/vector_based.cpp:86-123).
+
+    Corpus: one deterministic two-tone 1-s clip per doc, class =
+    doc_id % 250, tones at the geometric centers of log-bands
+    (c % 16, 16 + c // 16) — distinct classes share at most one band
+    (max inter-class cosine 0.516 measured, vs worst intra-class
+    0.9996).  doc_id % 6 == 0 gains a copy at doc_id + 1_000_000:
+    same recording at stretch 1 + k% (k in [-3, 3] keyed by id) with
+    seeded ~41 dB noise and a phase offset.  250 divides 1_000_000, so
+    two clips are the same recording iff doc_id % 250 agree — the
+    brute-force SQL oracle; the Spark side must recover exactly those
+    pairs from the waveforms alone (recall and precision 1.0)."""
+    from text_similarity_node_spark.operators.audio import synth_stretch_pcm_udf
+    from text_similarity_node_spark.operators.audio_fp import audio_profile_pairs
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_stretch_pcm_udf()
+    corpus = (
+        base.unionByName(copies)
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    pairs = audio_profile_pairs(corpus, "doc_id", "bytes")
+    return pairs.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q101_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 6 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM corpus a JOIN corpus b
+  ON a.doc_id < b.doc_id AND a.doc_id % 250 = b.doc_id % 250
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6048,6 +6103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_audio_duration_savings": q98_audio_duration_savings,
         "q99_repetition_filter": q99_repetition_filter,
         "q100_wer_audit": q100_wer_audit,
+        "q101_audio_stretch_profile_pairs": q101_audio_stretch_profile_pairs,
     }
 
 
@@ -6152,6 +6208,7 @@ def oracle_sql() -> dict[str, str]:
         "q98_audio_duration_savings": _Q98_SQL,
         "q99_repetition_filter": _Q99_SQL,
         "q100_wer_audit": _Q100_SQL,
+        "q101_audio_stretch_profile_pairs": _Q101_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

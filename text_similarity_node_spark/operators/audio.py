@@ -669,3 +669,65 @@ def gain_pcm_udf(gain: float):
         return pd.Series(out)
 
     return udf
+
+
+def synth_stretch_pcm_udf(
+    sr_hz: int = 16000,
+    n_bands: int = 32,
+    n_classes: int = 250,
+    f_lo: float = 100.0,
+    f_hi: float = 4000.0,
+    amp: float = 0.35,
+    max_stretch_pct: int = 3,
+    noise_amp: float = 0.003,
+):
+    """Deterministic two-tone pcm_s16le clip per id (the q101 fixture):
+    class ``c = id % n_classes`` plays the geometric CENTERS of log-bands
+    ``(c % 16, 16 + c // 16)`` of an ``n_bands``-point log-spaced grid on
+    [f_lo, f_hi] — distinct classes share at most one band, so their
+    band-energy profiles have cosine <= ~0.5 while same-class profiles
+    sit at ~1.0.
+
+    Ids >= 1_000_000 are the same class's recording played back at a
+    SPEED/PITCH STRETCH of 1 + k% (k in [-max_stretch_pct,
+    +max_stretch_pct] keyed by id), with seeded Gaussian noise
+    (~41 dB SNR at the defaults) and a deterministic phase offset — the
+    re-encode class that breaks landmark (f1, f2, dt) hashes (every
+    frequency AND every time delta moves by k%) but stays inside a
+    log-band of half-width ln(f_hi/f_lo)/(2*n_bands) (~5.9% at the
+    defaults, vs 3% max stretch).  n_classes=250 divides 1_000_000, so
+    ``id % n_classes`` is the class for copies too."""
+
+    ratio = (f_hi / f_lo) ** (1.0 / n_bands)
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        i = np.arange(sr_hz, dtype=np.float64)
+        for d in doc_id:
+            d = int(d)
+            c = d % n_classes
+            b1, b2 = c % 16, 16 + c // 16
+            f1 = f_lo * ratio ** (b1 + 0.5)
+            f2 = f_lo * ratio ** (b2 + 0.5)
+            if d >= 1_000_000:
+                s = 1.0 + ((d % (2 * max_stretch_pct + 1)) - max_stretch_pct) / 100.0
+                f1, f2 = f1 * s, f2 * s
+                rng = np.random.RandomState(d % (1 << 31))
+                phase = 2.0 * np.pi * (d % 997) / 997.0
+                x = (
+                    amp * np.sin(2.0 * np.pi * f1 * i / sr_hz + phase)
+                    + amp * np.sin(2.0 * np.pi * f2 * i / sr_hz + phase)
+                    + noise_amp * rng.standard_normal(sr_hz)
+                )
+            else:
+                x = amp * (
+                    np.sin(2.0 * np.pi * f1 * i / sr_hz)
+                    + np.sin(2.0 * np.pi * f2 * i / sr_hz)
+                )
+            out.append(
+                np.clip(x * 32767.0, -32768, 32767).astype("<i2").tobytes()
+            )
+        return pd.Series(out)
+
+    return udf

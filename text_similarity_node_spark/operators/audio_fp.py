@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import columns as C
 from .audio import decode_pcm_s16le
 
 # hash packing: qf1 * 2^24 + qf2 * 2^4 + dt  (quantized freqs < 2^20, dt < 16)
@@ -347,3 +348,134 @@ def audio_neardup(
         .filter(F.col("snr_db") >= snr_threshold_db)
         .select("id1", "id2", "n_matches", "snr_db")
     )
+
+
+def spectral_profile_udf(
+    n_bands: int = 32, f_lo: float = 100.0, f_hi: float = 4000.0
+):
+    """pcm_s16le bytes (+ sample rate) -> L2-normalized per-band energy
+    profile (array<double>, length n_bands) over an ``n_bands``-point
+    log-spaced band grid on [f_lo, f_hi].
+
+    The TIME-STRUCTURE-FREE fingerprint tier: |rFFT| magnitude discards
+    phase, so the profile is exactly invariant to time shift and
+    phase, and log-spaced bands of half-width ln(f_hi/f_lo)/(2*n_bands)
+    absorb playback-speed/pitch stretch up to that half-width — the
+    robustness class the landmark constellation (Wang 2003; this
+    module's ``audio_landmarks_udf``) does NOT have, since a k% stretch
+    moves every (f1, f2, dt) component by k% and breaks the exact hash.
+    The trade is discrimination: this is the reference's cosine kernel
+    (#9, /root/reference/src/algorithms/vector_based.cpp:86-123)
+    semantics transplanted to spectral bands, a coarse screen to be
+    paired with an exact verify, not a substitute for the landmark tier.
+
+    Whole-row numpy per clip (rFFT + one scatter-add); band edges are
+    precomputed once per executor.  Output rows are n_bands doubles —
+    the only thing that shuffles downstream; the BLOB never does."""
+    edges = f_lo * (f_hi / f_lo) ** (np.arange(n_bands + 1) / n_bands)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def udf(payload: pd.Series, sr_hz: pd.Series) -> pd.Series:
+        out = []
+        for buf, sr in zip(payload, sr_hz):
+            if buf is None or len(buf) < 4:
+                out.append([0.0] * n_bands)
+                continue
+            x = np.frombuffer(buf, dtype="<i2").astype(np.float64)
+            spec = np.abs(np.fft.rfft(x)) ** 2
+            freqs = np.arange(spec.shape[0]) * (float(sr) / x.shape[0])
+            idx = np.searchsorted(edges, freqs, side="right")
+            e = np.zeros(n_bands)
+            valid = (idx >= 1) & (idx <= n_bands)
+            np.add.at(e, idx[valid] - 1, spec[valid])
+            n = np.linalg.norm(e)
+            out.append((e / n).tolist() if n > 0 else e.tolist())
+        return pd.Series(out)
+
+    return udf
+
+
+def audio_profile_pairs(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    sr_col: str = "sr_hz",
+    n_bands: int = 32,
+    f_lo: float = 100.0,
+    f_hi: float = 4000.0,
+    top_k: int = 2,
+    threshold: float = 0.8,
+    key_cap: int = 4096,
+    return_metrics: bool = False,
+):
+    """Stretch/shift-robust audio near-dup pairs: spectral band profile
+    (computed where the BLOB lives, one map stage) -> DETERMINISTIC
+    dominant-band signature join (candidate key = the profile's top-k
+    band indices, sorted) -> exact cosine verify.  Returns (id1, id2,
+    cos_sim) with cos_sim >= threshold.
+
+    The candidate key is content-derived and exact, like the landmark
+    hash join above — NOT probabilistic LSH: two clips whose energy
+    concentrates in the same band set always share the key, so recall
+    against the profile-cosine truth is 1.0 whenever the dominant-band
+    set is stable under the corruption model (the q101 fixture verifies
+    a 34x energy margin between the k-th and (k+1)-th band under +-3%
+    stretch + noise).  Cosine on the full profile then makes precision
+    exact.
+
+    Skew: a signature key's members are genuine near-duplicates, so
+    same-key join output is the TRUE pair mass, quadratic in cluster
+    size by definition of the task.  ``key_cap`` meters runaway keys
+    (silence / boilerplate tones) instead of silently exploding — with
+    ``return_metrics`` the dropped keys come back as (band_key, n_docs)
+    rows, the audio_fingerprint_pairs policy; at 10^12 rows you emit
+    per-key clusters (representative + members) instead of pairs.  Only
+    (id, key, 32 doubles) rows shuffle; the BLOB never does."""
+    prof = df.select(
+        F.col(id_col).alias("rid"),
+        spectral_profile_udf(n_bands, f_lo, f_hi)(
+            F.col(bytes_col), F.col(sr_col)
+        ).alias("profile"),
+    ).withColumn(
+        "band_key",
+        F.aggregate(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("profile"),
+                        lambda v, j: F.struct(
+                            (-v).alias("neg"), j.alias("band")
+                        ),
+                    )
+                ),
+                1,
+                top_k,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.pow(F.lit(2.0), s["band"].cast("int")).cast("long"),
+        ),
+    )
+    prof = prof.persist()  # counts + both join sides (GC-cleaned)
+    counts = prof.groupBy("band_key").agg(F.count(F.lit(1)).alias("n_docs"))
+    hot = counts.filter(F.col("n_docs") > key_cap)
+    kept = prof.join(F.broadcast(hot.select("band_key")), "band_key", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .select(
+            F.col("a.rid").alias("id1"),
+            F.col("b.rid").alias("id2"),
+            C.cosine_sim_vec(F.col("a.profile"), F.col("b.profile")).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    if return_metrics:
+        return pairs, hot
+    return pairs
