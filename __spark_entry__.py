@@ -5991,6 +5991,111 @@ FROM corpus a JOIN corpus b
 """
 
 
+def q102_crossmodal_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal edge DIFF (operators/dedup.crossmodal_disagreement) —
+    the decision q39's edge UNION flattens: audio-dup + transcript-equal
+    = full_dup (collapse); audio-dup + transcripts differ =
+    transcript_conflict (same recording re-transcribed — keep one clip,
+    arbitrate the transcript); transcript-equal + different recording =
+    re_read (legitimate independent performance — deduping on text alone
+    would destroy it).  Transcript identity is EXACT equality — the
+    input_hint's own per-row invariant.
+
+    Corpus (all identity derivable by congruence, all content synthesized
+    from it): base docs carry audio class ``doc_id % 200`` (1-s sine, the
+    q32 family) and transcript T(c) = 24 class-keyed words.  Plants:
+    doc_id % 5 == 0 -> a re-transcription at +1_000_000 (same recording,
+    seeded ~34 dB jitter, transcript corrupted with per-id-unique tokens
+    at every (k + id) % 4 == 0 position — never equal to anything);
+    doc_id % 7 == 0 -> a re-read at +2_000_000 (transcript exactly T(c),
+    NEW recording: audio class 200 + c, a range bases never use);
+    doc_id % 11 == 0 -> a full dup at +3_000_000 (same recording
+    re-jittered, transcript exactly T(c)).  The Spark side recovers the
+    verdicts from waveforms + strings alone; the oracle restates the
+    congruences.  Audio exactness inherits q32's proof (1-Hz-quantized
+    parabolic peaks through the jitter)."""
+    from text_similarity_node_spark.operators.audio import synth_sine1s_pcm_udf
+    from text_similarity_node_spark.operators.dedup import crossmodal_disagreement
+
+    base_ids = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def t_clean(c):
+        return F.expr(
+            f"concat_ws(' ', transform(sequence(0, 23), k -> concat('w', {c} % 200, 'x', k)))"
+        )
+
+    base = base_ids.select(
+        F.col("doc_id"),
+        (F.col("doc_id") % 200).alias("synth_key"),
+        t_clean("doc_id").alias("transcript"),
+    )
+    retrans = base_ids.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.lit(1_000_000) + F.col("doc_id") % 200 + 400 * (F.col("doc_id") % 997)).alias(
+            "synth_key"
+        ),
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 23), k -> "
+            "if((k + doc_id) % 4 = 0, concat('zz', doc_id + 1000000, 'x', k), "
+            "concat('w', doc_id % 200, 'x', k))))"
+        ).alias("transcript"),
+    )
+    reread = base_ids.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        (F.lit(200) + F.col("doc_id") % 200).alias("synth_key"),
+        t_clean("doc_id").alias("transcript"),
+    )
+    fulldup = base_ids.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        (
+            F.lit(1_000_000) + F.col("doc_id") % 200 + 400 * ((F.col("doc_id") + 13) % 997)
+        ).alias("synth_key"),
+        t_clean("doc_id").alias("transcript"),
+    )
+    synth = synth_sine1s_pcm_udf()
+    corpus = (
+        base.unionByName(retrans).unionByName(reread).unionByName(fulldup)
+        .withColumn("bytes", synth(F.col("synth_key")))
+        .withColumn("sr_hz", F.lit(16000))
+        .drop("synth_key")
+    )
+    out = crossmodal_disagreement(
+        corpus, id_col="doc_id", text_col="transcript",
+        bytes_col="bytes", sr_col="sr_hz",
+        min_matches=2, frame_len=4096, hop=2048, peaks_per_frame=1,
+        fanout=2, freq_quant_hz=1.0,
+    )
+    return out.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2"),
+        "audio_dup", "text_dup", "verdict",
+    )
+
+
+_Q102_SQL = """
+WITH corpus AS (
+  SELECT doc_id AS id, doc_id % 200 AS acls, doc_id % 200 AS tkey
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id % 200, doc_id + 10000000
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, doc_id % 200 + 200, doc_id % 200
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, doc_id % 200, doc_id % 200
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT a.id AS doc_id1, b.id AS doc_id2,
+       (a.acls = b.acls) AS audio_dup,
+       (a.tkey = b.tkey) AS text_dup,
+       CASE WHEN a.acls = b.acls AND a.tkey = b.tkey THEN 'full_dup'
+            WHEN a.acls = b.acls THEN 'transcript_conflict'
+            ELSE 're_read' END AS verdict
+FROM corpus a JOIN corpus b
+  ON a.id < b.id AND (a.acls = b.acls OR a.tkey = b.tkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6104,6 +6209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_repetition_filter": q99_repetition_filter,
         "q100_wer_audit": q100_wer_audit,
         "q101_audio_stretch_profile_pairs": q101_audio_stretch_profile_pairs,
+        "q102_crossmodal_disagreement": q102_crossmodal_disagreement,
     }
 
 
@@ -6209,6 +6315,7 @@ def oracle_sql() -> dict[str, str]:
         "q99_repetition_filter": _Q99_SQL,
         "q100_wer_audit": _Q100_SQL,
         "q101_audio_stretch_profile_pairs": _Q101_SQL,
+        "q102_crossmodal_disagreement": _Q102_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -350,3 +350,72 @@ def semantic_dedup(
     return member.join(reps, "_cc").select(
         F.col("rid").alias(id_col), "rep_id"
     )
+
+
+def crossmodal_disagreement(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    text_col: str = "transcript",
+    bytes_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    min_matches: int = 1,
+    **audio_fp_kwargs,
+) -> DataFrame:
+    """Cross-modal edge DIFF — the decision layer over (clip, transcript)
+    pairs that multimodal_neardup's edge UNION deliberately flattens:
+
+    - audio-dup AND transcript-equal  -> ``full_dup``            (collapse)
+    - audio-dup, transcripts differ   -> ``transcript_conflict`` (same
+      recording re-transcribed: keep ONE clip, arbitrate the transcript —
+      the q97 keep-policy input)
+    - transcript-equal, audio differs -> ``re_read``             (same
+      words, different recording: a legitimate independent performance —
+      do NOT collapse; deduping on text alone would destroy it)
+
+    Audio identity comes from the spectral-landmark fingerprint join
+    (audio_fp.audio_fingerprint_pairs); transcript identity is EXACT
+    equality via an md5(transcript) equi-join — the input_hint's own
+    per-row invariant ("transcript equality"), one q05-shaped shuffle of
+    a 32-char key.  Returns (id1, id2, audio_dup, text_dup, verdict),
+    one row per pair holding at least one edge.  Scale: both edge sets
+    come from bucketed equi-joins (landmark hash / md5 key); the BLOB
+    never shuffles; the final full-outer join keys on (id1, id2) —
+    skinny int pairs."""
+    from .audio_fp import audio_fingerprint_pairs
+
+    audio_e = audio_fingerprint_pairs(
+        clips, id_col, bytes_col, sr_col,
+        min_matches=min_matches, **audio_fp_kwargs,
+    ).select("id1", "id2", F.lit(True).alias("audio_dup"))
+
+    t = clips.select(
+        F.col(id_col).alias("rid"), F.md5(F.col(text_col)).alias("tkey")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    text_e = (
+        a.join(
+            b,
+            (F.col("a.tkey") == F.col("b.tkey"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .select(
+            F.col("a.rid").alias("id1"),
+            F.col("b.rid").alias("id2"),
+            F.lit(True).alias("text_dup"),
+        )
+    )
+    return (
+        audio_e.join(text_e, ["id1", "id2"], "full_outer")
+        .select(
+            "id1",
+            "id2",
+            F.coalesce("audio_dup", F.lit(False)).alias("audio_dup"),
+            F.coalesce("text_dup", F.lit(False)).alias("text_dup"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("audio_dup") & F.col("text_dup"), "full_dup")
+            .when(F.col("audio_dup"), "transcript_conflict")
+            .otherwise("re_read"),
+        )
+    )
