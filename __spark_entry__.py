@@ -6096,6 +6096,143 @@ FROM corpus a JOIN corpus b
 """
 
 
+def q103_transcript_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript ARBITRATION after dedup — the step q102's
+    transcript_conflict verdict feeds: a duplicate-recording cluster
+    holds several drifted transcriptions of the same audio; keep the
+    WER-MEDOID (the member minimizing total word-level edit distance to
+    every other member, ties to the smallest doc_id) — the consensus
+    pick, robust to any single bad re-transcription, vs q97's
+    quality-argmax which never compares members to each other.
+
+    Clusters come from the payload itself (md5 over the synthesized PCM
+    bytes — the exact tier; near-dup tiers were proven in q32/q102);
+    within-cluster pairwise distances reuse q100's construction: per-pair
+    union-vocab dictionary encoding to single codepoints makes the JVM
+    ``levenshtein`` built-in a WORD-level edit distance, no UDF, guard
+    folded into the evaluated expression.  Per-cluster medoid = one
+    window argmin.  Corpus: class c = doc_id % 150 shares one recording;
+    transcripts are 30 class-keyed words with per-id drift (positions
+    (7k + id) % m == 0, m = 4 heavy / 9 light by id % 3, id % 5 == 0
+    clean).  DuckDB restates distances with editdist3 over the same
+    encoding — the medoid argmin must agree exactly.  Scale: pair work
+    is quadratic in CLUSTER size by the task's definition (arbitration
+    reads every member), run after dedup where clusters are small; the
+    BLOB reduces to a 32-char key at the scan."""
+    from pyspark.sql import Window
+
+    from text_similarity_node_spark.operators.audio import synth_sine1s_pcm_udf
+
+    synth = synth_sine1s_pcm_udf()
+    corpus = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn(
+            "transcript",
+            F.expr(
+                "concat_ws(' ', transform(sequence(0, 29), k -> "
+                "if(doc_id % 5 != 0 and (7*k + doc_id) % (if(doc_id % 3 = 0, 4, 9)) = 0, "
+                "concat('e', doc_id, 'x', k), "
+                "concat('w', doc_id % 150, 'x', k))))"
+            ),
+        )
+        .withColumn("bytes", synth((F.col("doc_id") % 150)))
+        .withColumn("ckey", F.md5(F.col("bytes")))
+        .drop("bytes")
+    )
+    t = corpus.select("ckey", "doc_id", F.split("transcript", " ").alias("v"))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.ckey").alias("ckey"),
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+        )
+        .withColumn("vocab", F.expr("array_distinct(concat(v1, v2))"))
+        .withColumn(
+            "d",
+            F.expr(
+                "if(size(vocab) <= 190, "
+                "cast(levenshtein("
+                "concat_ws('', transform(v1, x -> char(64 + array_position(vocab, x)))), "
+                "concat_ws('', transform(v2, x -> char(64 + array_position(vocab, x))))"
+                ") as bigint), "
+                "raise_error('q103: pair vocabulary exceeds single-codepoint encoding bound'))"
+            ),
+        )
+        .select("ckey", "id1", "id2", "d")
+    )
+    totals = (
+        pairs.select("ckey", F.col("id1").alias("member"), "d")
+        .unionByName(pairs.select("ckey", F.col("id2").alias("member"), "d"))
+        .groupBy("ckey", "member")
+        .agg(F.sum("d").alias("total_edits"))
+    )
+    w = Window.partitionBy("ckey").orderBy("total_edits", "member")
+    return (
+        totals.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "cluster_id", F.min("member").over(Window.partitionBy("ckey"))
+        )
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("ckey")).cast("long"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("member").alias("consensus_doc_id"),
+            "n_members",
+            "total_edits",
+        )
+    )
+
+
+_Q103_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, doc_id % 150 AS ckey,
+         list_transform(range(0, 30), k -> CASE
+           WHEN doc_id % 5 != 0
+                AND (7*k + doc_id) % (CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 9 END) = 0
+           THEN 'e' || doc_id || 'x' || k
+           ELSE 'w' || (doc_id % 150) || 'x' || k END) AS v
+  FROM documents
+), pairs AS (
+  SELECT a.ckey, a.doc_id AS id1, b.doc_id AS id2, a.v AS v1, b.v AS v2,
+         list_distinct(list_concat(a.v, b.v)) AS vocab
+  FROM corpus a JOIN corpus b ON a.ckey = b.ckey AND a.doc_id < b.doc_id
+), dist AS (
+  SELECT ckey, id1, id2,
+         editdist3(
+           array_to_string(list_transform(v1, x -> chr(64 + list_position(vocab, x))), ''),
+           array_to_string(list_transform(v2, x -> chr(64 + list_position(vocab, x))), '')
+         )::BIGINT AS d
+  FROM pairs
+), totals AS (
+  SELECT ckey, member, sum(d)::BIGINT AS total_edits
+  FROM (
+    SELECT ckey, id1 AS member, d FROM dist
+    UNION ALL
+    SELECT ckey, id2 AS member, d FROM dist
+  )
+  GROUP BY ckey, member
+)
+SELECT min(member) OVER (PARTITION BY ckey) AS cluster_id,
+       member AS consensus_doc_id,
+       (count(*) OVER (PARTITION BY ckey))::BIGINT AS n_members,
+       total_edits
+FROM totals
+QUALIFY row_number() OVER (PARTITION BY ckey ORDER BY total_edits, member) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6210,6 +6347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_wer_audit": q100_wer_audit,
         "q101_audio_stretch_profile_pairs": q101_audio_stretch_profile_pairs,
         "q102_crossmodal_disagreement": q102_crossmodal_disagreement,
+        "q103_transcript_consensus": q103_transcript_consensus,
     }
 
 
@@ -6316,6 +6454,7 @@ def oracle_sql() -> dict[str, str]:
         "q100_wer_audit": _Q100_SQL,
         "q101_audio_stretch_profile_pairs": _Q101_SQL,
         "q102_crossmodal_disagreement": _Q102_SQL,
+        "q103_transcript_consensus": _Q103_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
