@@ -6233,6 +6233,62 @@ QUALIFY row_number() OVER (PARTITION BY ckey ORDER BY total_edits, member) = 1
 """
 
 
+def q104_audio_boilerplate_intro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency audio-segment boilerplate (operators/audio_fp.
+    boilerplate_audio_segments) — the waveform analog of q56's C4
+    boilerplate-LINE rule: a landmark hash occurring in more than
+    df_threshold DISTINCT clips is shared production furniture (channel
+    intro jingle), not content.  Per clip: has_boilerplate + the
+    intro_group representative (smallest clip sharing any boilerplate
+    hash), computed as a double-min fold over (hash, clip) — never a
+    pairwise join, because boilerplate hashes are exactly the hot keys
+    an equi-join must not expand.
+
+    Corpus: channel = doc_id % 5; members open with the channel's
+    byte-identical two-tone jingle (sample-0-aligned, so intro-internal
+    landmark hashes agree exactly across the channel) followed by
+    per-id unique content (content hashes df=1; intro/content boundary
+    frames mix both and also stay df=1).  doc_id % 4 == 0 skips the
+    intro — the planted clean rows.  peaks_per_frame=1 on purpose:
+    int16 quantization puts harmonics of the intro fundamental ~40 dB
+    down but still above the noise floor, and a top-2 picker grabs one
+    in single-tone frames — channel 0's 200 Hz intro has its 5th
+    harmonic exactly on doc 0's 1000 Hz content, a planted-by-accident
+    false positive; top-1 keeps only fundamentals, which are disjoint
+    by construction.  The Spark side recovers the partition from
+    waveforms alone; the oracle restates the congruence and derives
+    each channel's representative relationally."""
+    from text_similarity_node_spark.operators.audio import synth_intro_pcm_udf
+    from text_similarity_node_spark.operators.audio_fp import (
+        boilerplate_audio_segments,
+    )
+
+    corpus = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("bytes", synth_intro_pcm_udf()(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    out = boilerplate_audio_segments(
+        corpus, "doc_id", "bytes", "sr_hz", df_threshold=8,
+        frame_len=2048, hop=1024, peaks_per_frame=1, fanout=2,
+        freq_quant_hz=1.0,
+    )
+    return out.select("doc_id", "has_boilerplate", "intro_group")
+
+
+_Q104_SQL = """
+WITH c AS (
+  SELECT doc_id, doc_id % 5 AS ch, (doc_id % 4 != 0) AS has FROM documents
+), g AS (
+  SELECT ch, min(doc_id) AS grp FROM c WHERE has GROUP BY ch
+)
+SELECT c.doc_id, c.has AS has_boilerplate,
+       CASE WHEN c.has THEN g.grp END AS intro_group
+FROM c LEFT JOIN g ON c.ch = g.ch
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6348,6 +6404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_audio_stretch_profile_pairs": q101_audio_stretch_profile_pairs,
         "q102_crossmodal_disagreement": q102_crossmodal_disagreement,
         "q103_transcript_consensus": q103_transcript_consensus,
+        "q104_audio_boilerplate_intro": q104_audio_boilerplate_intro,
     }
 
 
@@ -6455,6 +6512,7 @@ def oracle_sql() -> dict[str, str]:
         "q101_audio_stretch_profile_pairs": _Q101_SQL,
         "q102_crossmodal_disagreement": _Q102_SQL,
         "q103_transcript_consensus": _Q103_SQL,
+        "q104_audio_boilerplate_intro": _Q104_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -731,3 +731,39 @@ def synth_stretch_pcm_udf(
         return pd.Series(out)
 
     return udf
+
+
+def synth_intro_pcm_udf(sr_hz: int = 16000, intro_s: float = 0.5,
+                        content_s: float = 1.0, amp: float = 0.45):
+    """Deterministic pcm_s16le clip per id (the q104 fixture): channel
+    ``id % 5`` opens with a shared two-tone INTRO jingle (0.25 s at
+    200 + 60*ch Hz, 0.25 s at 230 + 60*ch Hz — byte-identical across
+    the channel, sample-0-aligned so every member frames it the same
+    way), followed by per-id UNIQUE content (1 s at 1000 + id Hz, so
+    content landmark hashes have document frequency 1).  Ids with
+    id % 4 == 0 skip the intro (straight to content) — the planted
+    no-boilerplate rows."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        n_half = int(sr_hz * intro_s / 2)
+        n_content = int(sr_hz * content_s)
+        ih = np.arange(n_half, dtype=np.float64)
+        ic = np.arange(n_content, dtype=np.float64)
+        for d in doc_id:
+            d = int(d)
+            ch = d % 5
+            content = amp * np.sin(2.0 * np.pi * (1000.0 + d) * ic / sr_hz)
+            if d % 4 == 0:
+                x = content
+            else:
+                a = amp * np.sin(2.0 * np.pi * (200.0 + 60 * ch) * ih / sr_hz)
+                b = amp * np.sin(2.0 * np.pi * (230.0 + 60 * ch) * ih / sr_hz)
+                x = np.concatenate([a, b, content])
+            out.append(
+                np.clip(x * 32767.0, -32768, 32767).astype("<i2").tobytes()
+            )
+        return pd.Series(out)
+
+    return udf

@@ -479,3 +479,64 @@ def audio_profile_pairs(
     if return_metrics:
         return pairs, hot
     return pairs
+
+
+def boilerplate_audio_segments(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    sr_col: str = "sr_hz",
+    df_threshold: int = 8,
+    **landmark_kwargs,
+) -> DataFrame:
+    """Corpus-frequency audio-segment boilerplate — the waveform analog
+    of the C4/RefinedWeb boilerplate-LINE rule (q56): a landmark hash
+    occurring in more than ``df_threshold`` DISTINCT clips is shared
+    production furniture (channel intro jingle, outro sting, ad bed),
+    not content — per-clip content is unique, so content hashes have
+    document frequency ~1.
+
+    Per clip returns (id, has_boilerplate, intro_group, n_boiler_hashes):
+    ``intro_group`` is the smallest clip id sharing any of the clip's
+    boilerplate hashes — computed as a min-REP fold (per-hash min clip,
+    then per-clip min over its hashes), NOT a pairwise join: boilerplate
+    hashes are exactly the hot keys an equi-join must never expand
+    (df > threshold clips each), and the double-min gives every member
+    of a shared-intro group the same representative in two skinny
+    groupBys.  Scale: one explode->distinct of (id, hash), one df-count
+    with map-side combine, boiler set + reps broadcast (small by
+    definition: only hashes in > threshold docs).  The BLOB never
+    shuffles."""
+    lm = df.select(
+        F.col(id_col).alias("rid"),
+        F.explode(
+            audio_landmarks_udf(**landmark_kwargs)(F.col(bytes_col), F.col(sr_col))
+        ).alias("h"),
+    ).distinct()
+    lm = lm.persist()  # df-count + filtered rejoin (GC-cleaned)
+    boiler = (
+        lm.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > df_threshold)
+        .select("h")
+    )
+    blm = lm.join(F.broadcast(boiler), "h")
+    reps = blm.groupBy("h").agg(F.min("rid").alias("rep"))
+    per_clip = (
+        blm.join(F.broadcast(reps), "h")
+        .groupBy("rid")
+        .agg(
+            F.min("rep").alias("intro_group"),
+            F.count_distinct("h").alias("n_boiler_hashes"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("rid"))
+        .join(per_clip, "rid", "left")
+        .select(
+            F.col("rid").alias(id_col),
+            F.col("intro_group").isNotNull().alias("has_boilerplate"),
+            "intro_group",
+            F.coalesce("n_boiler_hashes", F.lit(0)).alias("n_boiler_hashes"),
+        )
+    )
