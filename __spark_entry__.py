@@ -6289,6 +6289,65 @@ FROM c LEFT JOIN g ON c.ch = g.ch
 """
 
 
+def q105_set_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric word-SET containment join (operators/simjoin.
+    containment_join): directed pairs where |A ∩ B| >= 0.8·|A| — "doc
+    A's vocabulary lives inside doc B's".  The set-level complement of
+    q18's winnowing SUBSTRING containment (order-sensitive) and the
+    asymmetric limit of the reference's overlap coefficient
+    (token_based.cpp:226-284 normalizes by min(|A|,|B|); containment
+    normalizes by |A| only, so a short quote embedded in a long page
+    scores ~1 here while its symmetric Jaccard is tiny — the curation
+    case Jaccard dedup structurally misses).
+
+    Candidates via the containment prefix filter (A misses at most
+    |A|-ceil(t|A|) of its OWN tokens, so its rarest-first prefix must
+    hit B's full token index); verify is exact array_intersect.
+    Integer-exact end-to-end: the gate compares isz·10^6 >= 800000·|A|
+    and containment_micro is a BIGINT floor-div — no float thresholds
+    to diverge from the oracle.  min_size=5 drops degenerate contained
+    sides (a 1-word doc is "contained" in every doc sharing the word).
+
+    Token universe: distinct codepoint 5-gram shingles, NOT words —
+    the synthetic corpus draws from a 31-word vocabulary, so word-SET
+    containment is ~58% dense (145k directed pairs over 500 docs:
+    every doc's vocabulary sits inside most others); 5-gram sets keep
+    word-ORDER evidence and yield a selective, meaningful result
+    (the same reason the reference defaults NGRAM mode for dedup)."""
+    from text_similarity_node_spark.operators.simjoin import containment_join
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", C.char_ngrams(F.col("text"), 5).alias("toks")
+    )
+    pairs = containment_join(docs, "doc_id", "toks", threshold=0.8, min_size=5)
+    return pairs.select(
+        F.col("contained_id"),
+        F.col("container_id"),
+        "isz",
+        "containment_micro",
+    )
+
+
+_Q105_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substring(text, i, 5)
+                        FOR i IN range(1, greatest(length(text) - 4, 1) + 1)])
+           AS toks
+  FROM documents WHERE length(text) > 0
+), t AS (
+  SELECT doc_id, toks, len(toks) AS sz FROM g
+)
+SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+       len(list_intersect(a.toks, b.toks))::BIGINT AS isz,
+       ((len(list_intersect(a.toks, b.toks))::BIGINT * 1000000) // a.sz)::BIGINT
+         AS containment_micro
+FROM t a JOIN t b ON a.doc_id != b.doc_id
+WHERE a.sz >= 5
+  AND len(list_intersect(a.toks, b.toks))::BIGINT * 1000000 >= 800000 * a.sz
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6405,6 +6464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_crossmodal_disagreement": q102_crossmodal_disagreement,
         "q103_transcript_consensus": q103_transcript_consensus,
         "q104_audio_boilerplate_intro": q104_audio_boilerplate_intro,
+        "q105_set_containment_join": q105_set_containment_join,
     }
 
 
@@ -6513,6 +6573,7 @@ def oracle_sql() -> dict[str, str]:
         "q102_crossmodal_disagreement": _Q102_SQL,
         "q103_transcript_consensus": _Q103_SQL,
         "q104_audio_boilerplate_intro": _Q104_SQL,
+        "q105_set_containment_join": _Q105_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

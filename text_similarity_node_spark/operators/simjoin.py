@@ -238,3 +238,105 @@ def prefix_filter_editdist_join(
         .select("id1", "id2", "dist")
     )
     return verified
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+    min_size: int = 1,
+) -> DataFrame:
+    """Exact ASYMMETRIC set-containment join: directed pairs
+    (contained_id, container_id, isz, containment_micro) with
+    |A ∩ B| >= threshold * |A| — "document A's vocabulary lives inside
+    document B's".  The set-level complement of the winnowing pass
+    (operators/suffix.py finds SUBSTRING containment; this finds
+    subset containment regardless of word order), and of the symmetric
+    Jaccard join above (a short quote inside a long page has tiny
+    Jaccard but containment ~1).
+
+    Prefix-filter theory (Chaudhuri et al. SSJoin, containment variant):
+    if |A ∩ B| >= t|A| then A misses at most |A| - ceil(t|A|) tokens of
+    its own set, so its rarest-first prefix of length
+    |A| - ceil(t|A|) + 1 must intersect B — joining A-prefixes against
+    B's FULL token index is candidate-complete; the exact
+    array_intersect verify makes precision exact.  Containment is
+    integer-exact end-to-end: the filter compares
+    isz * 1_000_000 >= round(t * 1e6) * |A| and the reported
+    containment_micro is a BIGINT floor-div (the q06 channel).
+
+    Scale notes: the asymmetric index is the honest cost — B explodes
+    every distinct token, so posting lists of corpus stopwords are the
+    hot keys; at 10^12 rows put a df cap WITH metrics in front (the q04
+    -> q37 migration) or df-order B's postings and cut at the largest
+    rank any prefix can reach.  The A side only explodes prefixes
+    (rare tokens by construction).  min_size gates degenerate contained
+    sides (|A| = 1 is contained in every doc sharing the word)."""
+    t_micro = int(round(threshold * 1_000_000))
+    toks = df.select(
+        F.col(id_col).alias("rid"),
+        F.array_distinct(F.col(tokens_col)).alias("toks"),
+    ).withColumn("sz", F.size("toks")).filter(F.col("sz") >= 1)
+    toks = toks.persist()  # flat/index/both verify sides (GC-cleaned)
+
+    flat = toks.select("rid", "sz", F.explode("toks").alias("tok"))
+    freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = flat.join(freq, "tok").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("rid").orderBy(F.col("df").asc(), F.col("tok").asc())
+        ),
+    )
+    prefix = ranked.filter(
+        (F.col("sz") >= min_size)
+        & (
+            F.col("rank")
+            <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+    ).select(
+        F.col("rid").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("tok").alias("tok_a"),
+    )
+
+    # distinct column names on each side: both lineages descend from the
+    # same cached `toks`, and joining prefix["tok"] == index["tok"] makes
+    # Spark collapse the predicate to trivially-true (same attribute id)
+    index = flat.select(
+        F.col("rid").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    cand = (
+        prefix.join(
+            index,
+            (F.col("tok_a") == F.col("tok_b"))
+            & (F.col("id_a") != F.col("id_b"))
+            # container must hold at least ceil(t*|A|) tokens
+            & (F.col("sz_b") >= F.ceil(F.lit(threshold) * F.col("sz_a"))),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    t1 = toks.select(
+        F.col("rid").alias("id_a"), F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    t2 = toks.select(F.col("rid").alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        cand.join(t1, "id_a")
+        .join(t2, "id_b")
+        .withColumn(
+            "isz", F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+        )
+        .filter(
+            F.col("isz") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("sz_a")
+        )
+        .select(
+            F.col("id_a").alias("contained_id"),
+            F.col("id_b").alias("container_id"),
+            "isz",
+            F.expr("(isz * 1000000L) div sz_a").alias("containment_micro"),
+        )
+    )
