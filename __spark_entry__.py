@@ -6348,6 +6348,57 @@ WHERE a.sz >= 5
 """
 
 
+def q106_audio_set_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash over landmark-hash SETS (operators/audio_fp.
+    audio_set_minhash_pairs) — partial-overlap audio similarity as a
+    sketch tier.  The raw landmark equi-join (q32) must CAP hot hashes,
+    which at 10^12 clips throws away exactly the hashes a large
+    legitimate near-dup cluster shares; sketching each clip's whole
+    landmark set into a k=128 MinHash signature moves candidate
+    generation to the production salted band join (cold/salted/dropped
+    dispositions, fan-out bounded per band, never per landmark), then
+    an EXACT set-Jaccard verify over the two landmark arrays restores
+    precision — the text pipeline's candidates-then-verify split,
+    applied to the waveform's fingerprint set.  Reference semantics:
+    Jaccard kernel #5 set mode (token_based.cpp:128-159) with landmark
+    hashes as the token universe.
+
+    Corpus (synth_shared_pcm_udf): class = doc_id % 25; members open
+    with the class's byte-identical two-tone 0.8 s COMMON segment, then
+    a per-id unique 0.4 s tail; frequency pools disjoint across classes
+    and ids.  At frame 2048 / hop 1024 / top-1 peaks / fanout 2 each
+    clip yields exactly 10 landmark hashes, 6 of them class-common, so
+    within-class Jaccard is the constant 6/(10+10-6) = 6/14 ->
+    jac_micro 428571 (BIGINT floor-div) and cross-class Jaccard is
+    exactly 0.  The oracle restates the congruence AND the two
+    integer invariants — a hash match certifies sketch recall 1.0 and
+    verify precision 1.0 at once."""
+    from text_similarity_node_spark.operators.audio import synth_shared_pcm_udf
+    from text_similarity_node_spark.operators.audio_fp import (
+        audio_set_minhash_pairs,
+    )
+
+    corpus = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("bytes", synth_shared_pcm_udf()(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    return audio_set_minhash_pairs(
+        corpus, "doc_id", "bytes", "sr_hz", threshold=0.3,
+        frame_len=2048, hop=1024, peaks_per_frame=1, fanout=2,
+        freq_quant_hz=1.0,
+    )
+
+
+_Q106_SQL = """
+WITH c AS (SELECT doc_id, doc_id % 25 AS cls FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       6::BIGINT AS isz, 428571::BIGINT AS jac_micro
+FROM c a JOIN c b ON a.cls = b.cls AND a.doc_id < b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6465,6 +6516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_transcript_consensus": q103_transcript_consensus,
         "q104_audio_boilerplate_intro": q104_audio_boilerplate_intro,
         "q105_set_containment_join": q105_set_containment_join,
+        "q106_audio_set_minhash_pairs": q106_audio_set_minhash_pairs,
     }
 
 
@@ -6574,6 +6626,7 @@ def oracle_sql() -> dict[str, str]:
         "q103_transcript_consensus": _Q103_SQL,
         "q104_audio_boilerplate_intro": _Q104_SQL,
         "q105_set_containment_join": _Q105_SQL,
+        "q106_audio_set_minhash_pairs": _Q106_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -767,3 +767,40 @@ def synth_intro_pcm_udf(sr_hz: int = 16000, intro_s: float = 0.5,
         return pd.Series(out)
 
     return udf
+
+
+def synth_shared_pcm_udf(sr_hz: int = 16000, common_s: float = 0.8,
+                         unique_s: float = 0.4, n_classes: int = 25,
+                         amp: float = 0.45):
+    """Deterministic pcm_s16le clip per id (the q106 fixture): class
+    ``id % n_classes`` opens with a shared two-tone COMMON segment
+    (common_s/2 at 300 + 10*cls Hz, common_s/2 at 550 + 10*cls Hz —
+    byte-identical and sample-0-aligned across the class), followed by
+    a per-id UNIQUE tail (unique_s at 1000 + id Hz).  Frequency pools
+    are disjoint (class tones <= 790 Hz, unique tones >= 1000 Hz, 10 Hz
+    class spacing vs sub-Hz interpolation error on clean tones), so
+    landmark hashes never cross classes: within-class landmark-set
+    Jaccard is a fixed mid value (common frames shared, tail + boundary
+    frames per-id), cross-class exactly 0 — the partial-overlap regime
+    the audio MinHash tier exists for."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        n_half = int(sr_hz * common_s / 2)
+        n_unique = int(sr_hz * unique_s)
+        ih = np.arange(n_half, dtype=np.float64)
+        iu = np.arange(n_unique, dtype=np.float64)
+        for d in doc_id:
+            d = int(d)
+            cls = d % n_classes
+            a = amp * np.sin(2.0 * np.pi * (300.0 + 10 * cls) * ih / sr_hz)
+            b = amp * np.sin(2.0 * np.pi * (550.0 + 10 * cls) * ih / sr_hz)
+            tail = amp * np.sin(2.0 * np.pi * (1000.0 + d) * iu / sr_hz)
+            x = np.concatenate([a, b, tail])
+            out.append(
+                np.clip(x * 32767.0, -32768, 32767).astype("<i2").tobytes()
+            )
+        return pd.Series(out)
+
+    return udf

@@ -540,3 +540,82 @@ def boilerplate_audio_segments(
             F.coalesce("n_boiler_hashes", F.lit(0)).alias("n_boiler_hashes"),
         )
     )
+
+
+def audio_set_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    sr_col: str = "sr_hz",
+    threshold: float = 0.3,
+    cfg=None,
+    return_metrics: bool = False,
+    **landmark_kwargs,
+):
+    """Partial-overlap audio similarity via MinHash over the clip's
+    landmark-hash SET — the tier between the raw landmark equi-join
+    (audio_fingerprint_pairs) and the exact SNR verify.
+
+    Why it exists at 10^12 clips: the raw equi-join's posting list for a
+    landmark shared by f clips is f rows, and its hot-hash cap DROPS
+    hashes beyond ``hash_cap`` — correct for boilerplate, but a hash
+    shared by a large legitimate near-dup cluster is exactly the signal
+    being dropped.  Sketching the whole landmark set into a k-slot
+    MinHash signature moves candidate generation to the production
+    salted band join (operators/lsh.candidate_pairs: cold / salted /
+    capped-with-metrics dispositions), whose fan-out is bounded per
+    BAND, not per landmark — a 10^6-member cluster costs salted band
+    blocks, not 10^12 posting-list rows.  Same candidates-then-verify
+    split as the text pipeline; the verify here is EXACT set Jaccard
+    over the two landmark arrays (array_intersect, integer-micro), so
+    precision is exact and the sketch only governs recall.
+
+    Defaults k=128, b=64/r=2: miss probability (1-J^2)^64 is ~6e-7 at
+    J=0.45 and the band key stays 2 slots wide — selective because
+    disjoint landmark sets collide on a slot only via a 64-bit hash
+    collision.  Returns (id1 < id2, isz, jac_micro); with
+    ``return_metrics`` also the band-disposition ledger."""
+    from ..config import PipelineConfig
+    from .lsh import candidate_pairs
+    from .minhash import explode_bands, minhash_signature_udf
+
+    if cfg is None:
+        cfg = PipelineConfig(minhash_k=128, lsh_bands=64, lsh_rows=2)
+    lm = df.select(
+        F.col(id_col).alias("rid"),
+        audio_landmarks_udf(**landmark_kwargs)(
+            F.col(bytes_col), F.col(sr_col)
+        ).alias("lms"),
+    ).filter(F.size("lms") > 0)
+    lm = lm.persist()  # signature derivation + both verify sides (GC-cleaned)
+    sig = lm.withColumn(
+        "minhash",
+        minhash_signature_udf(cfg.minhash_k, cfg.minhash_seed)(
+            F.transform(F.col("lms"), lambda h: h.cast("string"))
+        ),
+    )
+    bands = explode_bands(sig, "rid", "minhash", cfg)
+    pairs, band_metrics = candidate_pairs(bands, cfg, id_col="rid")
+    t_micro = int(round(threshold * 1_000_000))
+    l1 = lm.select(F.col("rid").alias("id1"), F.col("lms").alias("_l1"))
+    l2 = lm.select(F.col("rid").alias("id2"), F.col("lms").alias("_l2"))
+    verified = (
+        pairs.join(l1, "id1")
+        .join(l2, "id2")
+        .withColumn(
+            "isz", F.size(F.array_intersect("_l1", "_l2")).cast("long")
+        )
+        .withColumn(
+            "usz",
+            F.size("_l1").cast("long") + F.size("_l2").cast("long")
+            - F.col("isz"),
+        )
+        .filter(F.col("isz") * F.lit(1_000_000) >= F.lit(t_micro) * F.col("usz"))
+        .select(
+            "id1", "id2", "isz",
+            F.expr("(isz * 1000000L) div usz").alias("jac_micro"),
+        )
+    )
+    if return_metrics:
+        return verified, band_metrics
+    return verified
