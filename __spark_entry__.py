@@ -6399,6 +6399,72 @@ FROM c a JOIN c b ON a.cls = b.cls AND a.doc_id < b.doc_id
 """
 
 
+def q107_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup — the near-exact tier every web
+    pipeline (CCNet, RefinedWeb) runs between byte-exact dedup (q28)
+    and MinHash: casefold + whitespace-collapse + trim BEFORE hashing,
+    so re-encoded copies that differ only in case or spacing collapse
+    while real edits survive for the near-dup tiers.  Reference hook:
+    the kernels' case_sensitive=False preprocessing (functions/
+    unicode.py fold tables; config.AlgorithmConfig) applied at corpus
+    scale as a keying decision rather than per-pair.
+
+    Plan: pure JVM normalization expressions (lower/regexp_replace/
+    trim — whole-stage codegen, zero UDF), then the q28 shape: ONE
+    shuffle on md5(norm) with window-min inside the hash partition;
+    the 32-char digest is the only wide column shuffled.  Corpus
+    plants an UPPERCASED copy (doc_id%5==0) and a whitespace-mangled
+    copy (doc_id%7==0, doubled inner + leading/trailing spaces) —
+    both must fold onto their source; byte-exact q28 sees neither."""
+    base = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    upper = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    spaced = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(F.col("text"), " ", "  "),
+            F.lit(" "),
+        ).alias("text"),
+    )
+    from pyspark.sql import Window
+
+    corpus = base.unionByName(upper).unionByName(spaced)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("norm_key")
+    return (
+        corpus.withColumn("norm_key", F.md5(norm))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).cast("int").alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q107_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, '  ' || replace(text, ' ', '  ') || ' '
+  FROM documents WHERE doc_id % 7 = 0
+), keyed AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+  FROM corpus
+)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY k) AS canonical_id,
+       (doc_id != min(doc_id) OVER (PARTITION BY k))::INT AS is_dup
+FROM keyed ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6517,6 +6583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_audio_boilerplate_intro": q104_audio_boilerplate_intro,
         "q105_set_containment_join": q105_set_containment_join,
         "q106_audio_set_minhash_pairs": q106_audio_set_minhash_pairs,
+        "q107_normalized_exact_dedup": q107_normalized_exact_dedup,
     }
 
 
@@ -6627,6 +6694,7 @@ def oracle_sql() -> dict[str, str]:
         "q104_audio_boilerplate_intro": _Q104_SQL,
         "q105_set_containment_join": _Q105_SQL,
         "q106_audio_set_minhash_pairs": _Q106_SQL,
+        "q107_normalized_exact_dedup": _Q107_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
