@@ -6465,6 +6465,44 @@ FROM keyed ORDER BY doc_id
 """
 
 
+def q108_audio_loop_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-clip loop/stutter detection (operators/audio_fp.
+    audio_loop_stats) — the waveform analog of q99's Gopher-style
+    intra-document repetition filter: a looped clip repeats every
+    landmark hash at several anchor frames, so the repeated-anchor
+    fraction rep_micro = (n_landmarks - n_distinct_hashes)·10^6 div
+    n_landmarks separates twice-played cycles (~370k-519k on this
+    corpus) from non-repeating melodies (~111k-148k; the residue is
+    segment-boundary frames).  ZERO exchanges: timed-landmark UDF then
+    per-row size/array_distinct expressions — a map-only plan that
+    scales by partition parallelism alone, like q99.
+
+    Corpus (synth_loop_pcm_udf): 8-segment melodies; doc_id % 3 == 0
+    plays its first 4 segments twice (the stutter plant).  The oracle
+    restates the congruence; a hash match certifies the detector flags
+    exactly the planted 167 loops and none of the 333 clean clips."""
+    from text_similarity_node_spark.operators.audio import synth_loop_pcm_udf
+    from text_similarity_node_spark.operators.audio_fp import audio_loop_stats
+
+    corpus = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("bytes", synth_loop_pcm_udf()(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    out = audio_loop_stats(
+        corpus, "doc_id", "bytes", "sr_hz", rep_threshold_micro=300_000,
+        frame_len=2048, hop=1024, peaks_per_frame=1, fanout=2,
+        freq_quant_hz=1.0,
+    )
+    return out.select("doc_id", "is_looped")
+
+
+_Q108_SQL = """
+SELECT doc_id, (doc_id % 3 = 0) AS is_looped FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6584,6 +6622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_set_containment_join": q105_set_containment_join,
         "q106_audio_set_minhash_pairs": q106_audio_set_minhash_pairs,
         "q107_normalized_exact_dedup": q107_normalized_exact_dedup,
+        "q108_audio_loop_filter": q108_audio_loop_filter,
     }
 
 
@@ -6695,6 +6734,7 @@ def oracle_sql() -> dict[str, str]:
         "q105_set_containment_join": _Q105_SQL,
         "q106_audio_set_minhash_pairs": _Q106_SQL,
         "q107_normalized_exact_dedup": _Q107_SQL,
+        "q108_audio_loop_filter": _Q108_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -804,3 +804,36 @@ def synth_shared_pcm_udf(sr_hz: int = 16000, common_s: float = 0.8,
         return pd.Series(out)
 
     return udf
+
+
+def synth_loop_pcm_udf(sr_hz: int = 16000, seg_len: int = 2048,
+                       n_segs: int = 8, seg_step: float = 731.0,
+                       amp: float = 0.4):
+    """Deterministic pcm_s16le clip per id (the q108 fixture): an
+    ``n_segs``-segment melody, segment s at 100 + 3*(id % 500) +
+    seg_step*s Hz.  Ids with id % 3 == 0 are LOOPED: the first
+    n_segs/2 segments play twice (period n_segs/2 * seg_len samples)
+    — the audio analog of q99's stutter plant; every landmark of the
+    first cycle recurs in the second.  Clean ids play n_segs distinct
+    segments, so landmark hashes anchor (almost) uniquely.  seg_step
+    chosen so the top frequency stays under Nyquist at the defaults
+    (100 + 1497 + 731*7 = 6714 < 8000)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(doc_id: pd.Series) -> pd.Series:
+        out = []
+        total = seg_len * n_segs
+        i = np.arange(total, dtype=np.float64)
+        seg_all = np.arange(total) // seg_len
+        half = n_segs // 2
+        for d in doc_id:
+            d = int(d)
+            seg = seg_all % half if d % 3 == 0 else seg_all
+            freq = 100.0 + 3.0 * (d % 500) + seg_step * seg
+            x = amp * np.sin(2.0 * np.pi * freq * i / sr_hz)
+            out.append(
+                np.clip(x * 32767.0, -32768, 32767).astype("<i2").tobytes()
+            )
+        return pd.Series(out)
+
+    return udf

@@ -619,3 +619,57 @@ def audio_set_minhash_pairs(
     if return_metrics:
         return verified, band_metrics
     return verified
+
+
+def audio_loop_stats(
+    df: DataFrame,
+    id_col: str,
+    bytes_col: str,
+    sr_col: str = "sr_hz",
+    rep_threshold_micro: int = 300_000,
+    **landmark_kwargs,
+) -> DataFrame:
+    """Intra-clip LOOP / stutter detection — the waveform analog of the
+    intra-document repetition filter (q99, Gopher-family): synthetic or
+    corrupted pipelines pad audio by repeating a segment, and a looped
+    clip repeats each landmark hash at several anchor frames, so the
+    fraction of repeated anchor instances
+
+        rep_micro = (n_landmarks - n_distinct_hashes) * 10^6
+                    div n_landmarks
+
+    sits near 500000 for a twice-played cycle and near 0 for
+    non-repeating content.  Everything after the timed-landmark UDF is
+    per-row JVM expressions (size / array_distinct / transform) — no
+    explode, no join, ZERO exchanges: the plan is a map-only scan, the
+    shape that survives any corpus size by pure partition parallelism.
+
+    Returns (id, n_landmarks, n_hashes, rep_micro, is_looped); clips
+    too short to frame get n_landmarks = 0 and is_looped = false."""
+    lm = df.select(
+        F.col(id_col),
+        audio_landmarks_timed_udf(**landmark_kwargs)(
+            F.col(bytes_col), F.col(sr_col)
+        ).alias("lts"),
+    )
+    n_lm = F.size("lts").cast("long")
+    n_hash = F.size(
+        F.array_distinct(F.transform(F.col("lts"), lambda s: s["h"]))
+    ).cast("long")
+    return (
+        lm.withColumn("n_landmarks", n_lm)
+        .withColumn("n_hashes", n_hash)
+        .withColumn(
+            "rep_micro",
+            F.when(
+                F.col("n_landmarks") > 0,
+                F.expr(
+                    "((n_landmarks - n_hashes) * 1000000L) div n_landmarks"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "is_looped", F.col("rep_micro") >= F.lit(int(rep_threshold_micro))
+        )
+        .select(id_col, "n_landmarks", "n_hashes", "rep_micro", "is_looped")
+    )
