@@ -6503,6 +6503,118 @@ SELECT doc_id, (doc_id % 3 = 0) AS is_looped FROM documents
 """
 
 
+def q109_event_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity event rollup via CUBE(event_type, day) — the
+    hypertable-rollup shape of the analytics surface: one pass over the
+    fact table produces the (type, day) cells AND all three margin
+    levels (per-type, per-day, grand total), with Catalyst expanding
+    the grouping sets into a single partial-agg -> final-agg exchange
+    (map-side combine; no per-granularity rescans).  The value mass
+    rides the exact integer channel (cents = round(value*100) BIGINT
+    — the q06 policy) so margins sum bit-exactly; grouping flags are
+    emitted explicitly (g_type, g_day) because the NULL that CUBE
+    emits for a margin is otherwise ambiguous with a NULL group key."""
+    day = F.to_date("ts").alias("day")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        _load(spark, sf_dir, "events")
+        .select("event_type", day, cents.alias("cents"))
+        .cube("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+        .select("event_type", "day", "g_type", "g_day", "n_events", "value_cents")
+    )
+
+
+_Q109_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       GROUPING(event_type)::INT AS g_type,
+       GROUPING(CAST(ts AS DATE))::INT AS g_day,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+"""
+
+
+def q110_clips_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-hygiene audit over the EXACT input-hint clip schema
+    (clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,
+    transcript string) — the first query a 10^12-row audio table runs,
+    before any dedup: does the metadata actually describe the payload?
+    Pure JVM expressions (length(bytes), integer div), zero UDF, ZERO
+    exchanges — map-only like q108.  Verdict precedence:
+
+      unverifiable_codec  codec != pcm_s16le: length arithmetic can't
+                          be checked without a decoder (honest stub
+                          boundary — the repo has no codec libs)
+      torn_frame          odd byte length: a truncated int16 sample
+      dur_mismatch        dur_ms != len(bytes) div 32 at 16 kHz
+      ok
+
+    Corpus: vardur payloads (true dur_ms = 750 + doc_id%400 exactly);
+    plants, in precedence order: codec mislabeled 'opus' (doc_id%13),
+    last byte truncated (doc_id%17), dur_ms overstated +250
+    (doc_id%11).  The oracle restates the congruence with the same
+    CASE precedence, including overlap cells (e.g. id % 143 == 0 hits
+    both %13 and %11 and must land on unverifiable_codec)."""
+    from text_similarity_node_spark.operators.audio import (
+        synth_sine_vardur_pcm_udf,
+    )
+
+    base = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("bytes", synth_sine_vardur_pcm_udf()(F.col("doc_id")))
+    )
+    clips = base.select(
+        F.format_string("clip_%012d", F.col("doc_id")).alias("clip_id"),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.expr("substring(bytes, 1, length(bytes) - 1)"),
+        )
+        .otherwise(F.col("bytes"))
+        .alias("bytes"),
+        F.lit(16000).alias("sr_hz"),
+        (
+            F.lit(750)
+            + (F.col("doc_id") % 400)
+            + F.when(F.col("doc_id") % 11 == 0, F.lit(250)).otherwise(F.lit(0))
+        )
+        .cast("int")
+        .alias("dur_ms"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("opus"))
+        .otherwise(F.lit("pcm_s16le"))
+        .alias("codec"),
+    )
+    blen = F.length("bytes").cast("long")
+    verdict = (
+        F.when(F.col("codec") != "pcm_s16le", F.lit("unverifiable_codec"))
+        .when(blen % 2 != 0, F.lit("torn_frame"))
+        .when(
+            F.col("dur_ms").cast("long")
+            != F.expr("(CAST(length(bytes) AS BIGINT) * 1000) div (sr_hz * 2)"),
+            F.lit("dur_mismatch"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return clips.select("clip_id", verdict.alias("verdict"))
+
+
+_Q110_SQL = """
+SELECT printf('clip_%012d', doc_id) AS clip_id,
+       CASE WHEN doc_id % 13 = 0 THEN 'unverifiable_codec'
+            WHEN doc_id % 17 = 0 THEN 'torn_frame'
+            WHEN doc_id % 11 = 0 THEN 'dur_mismatch'
+            ELSE 'ok' END AS verdict
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6623,6 +6735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_audio_set_minhash_pairs": q106_audio_set_minhash_pairs,
         "q107_normalized_exact_dedup": q107_normalized_exact_dedup,
         "q108_audio_loop_filter": q108_audio_loop_filter,
+        "q109_event_cube_rollup": q109_event_cube_rollup,
+        "q110_clips_integrity_audit": q110_clips_integrity_audit,
     }
 
 
@@ -6735,6 +6849,8 @@ def oracle_sql() -> dict[str, str]:
         "q106_audio_set_minhash_pairs": _Q106_SQL,
         "q107_normalized_exact_dedup": _Q107_SQL,
         "q108_audio_loop_filter": _Q108_SQL,
+        "q109_event_cube_rollup": _Q109_SQL,
+        "q110_clips_integrity_audit": _Q110_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
