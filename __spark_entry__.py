@@ -6615,6 +6615,58 @@ FROM documents
 """
 
 
+def q111_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly event counts with GAP FILL — the hypertable
+    time_bucket_gapfill shape: hours inside [min, max] of each type's
+    activity that saw zero events must appear as explicit zero rows
+    (downstream rate/alerting math breaks on missing buckets).  Plan:
+    aggregate first (the only wide exchange, map-side combined), then
+    densify the DIMENSION, not the facts — per type one tiny row
+    (min_h, max_h) explodes via sequence() into the hour spine, and
+    the left join back to the aggregated counts runs broadcast (the
+    spine is |types|·|hours|, microscopic next to the fact table at
+    any scale).  Zero-fill via coalesce; all JVM.  DuckDB restates the
+    spine with generate_series."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    counts = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    return spine.join(F.broadcast(counts), ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+_Q111_SQL = """
+WITH counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM counts GROUP BY 1
+), spine AS (
+  SELECT b.event_type, s.h
+  FROM bounds b, LATERAL (
+    SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+  ) s
+)
+SELECT s.event_type, s.h AS hour, coalesce(c.n_events, 0)::BIGINT AS n_events
+FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6737,6 +6789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_audio_loop_filter": q108_audio_loop_filter,
         "q109_event_cube_rollup": q109_event_cube_rollup,
         "q110_clips_integrity_audit": q110_clips_integrity_audit,
+        "q111_event_gapfill": q111_event_gapfill,
     }
 
 
@@ -6851,6 +6904,7 @@ def oracle_sql() -> dict[str, str]:
         "q108_audio_loop_filter": _Q108_SQL,
         "q109_event_cube_rollup": _Q109_SQL,
         "q110_clips_integrity_audit": _Q110_SQL,
+        "q111_event_gapfill": _Q111_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
