@@ -6667,6 +6667,80 @@ FROM spine s LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
 """
 
 
+def q112_audio_polarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polarity-inversion robustness audit of the audio dedup verify
+    (operators/audio.pairwise_snr_polarity_udf).  A polarity-inverted
+    copy (x -> -x: swapped balanced wiring, a DAW export flag) is the
+    same recording to every spectral tier — |FFT| and landmark hashes
+    are sign-invariant, so the candidate stage (q32's fingerprint
+    equi-join) finds the pair — but the RAW SNR verify scores it
+    10·log10(1/4) ~ -6 dB (noise = 2x) and silently rejects exactly
+    the pairs the candidates were right about.  The polarity-aware
+    verifier checks both signs (one negation per pair) and restores
+    them.  The query emits both verdicts per candidate pair so the
+    oracle certifies the failure mode AND the fix: every planted pair
+    must have raw_rejects = true and accepted = true.
+
+    Corpus: bases doc_id < 200 (unique sine class per base), inverted
+    copies at doc_id + 1_000_000 for doc_id % 3 == 0 via
+    gain_pcm_udf(-1.0) (exact int16 negation, amp 0.5 keeps samples
+    off the -32768 asymmetry).  Candidates from the landmark join;
+    cross-base pairs impossible (disjoint frequencies)."""
+    from text_similarity_node_spark.operators.audio import (
+        gain_pcm_udf,
+        pairwise_snr_polarity_udf,
+        pairwise_snr_udf,
+        synth_sine1s_pcm_udf,
+    )
+    from text_similarity_node_spark.operators.audio_fp import (
+        audio_fingerprint_pairs,
+    )
+
+    base = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.col("doc_id").alias("clip_id"))
+        .withColumn("bytes", synth_sine1s_pcm_udf()(F.col("clip_id")))
+    )
+    inverted = base.filter(F.col("clip_id") % 3 == 0).select(
+        (F.col("clip_id") + 1_000_000).alias("clip_id"),
+        gain_pcm_udf(-1.0)(F.col("bytes")).alias("bytes"),
+    )
+    corpus = (
+        base.unionByName(inverted)
+        .withColumn("sr_hz", F.lit(16000))
+        .persist()
+    )
+    pairs = audio_fingerprint_pairs(
+        corpus, "clip_id", "bytes", "sr_hz", min_matches=2,
+        frame_len=4096, hop=2048, peaks_per_frame=1, fanout=2,
+        freq_quant_hz=1.0,
+    )
+    b1 = corpus.select(F.col("clip_id").alias("id1"), F.col("bytes").alias("_b1"))
+    b2 = corpus.select(F.col("clip_id").alias("id2"), F.col("bytes").alias("_b2"))
+    return (
+        pairs.join(b1, "id1")
+        .join(b2, "id2")
+        .withColumn("snr_raw", pairwise_snr_udf(F.col("_b1"), F.col("_b2")))
+        .withColumn(
+            "snr_pol", pairwise_snr_polarity_udf(F.col("_b1"), F.col("_b2"))
+        )
+        .select(
+            "id1",
+            "id2",
+            (F.col("snr_raw") < 30.0).alias("raw_rejects"),
+            (F.col("snr_pol") >= 30.0).alias("accepted"),
+        )
+    )
+
+
+_Q112_SQL = """
+SELECT doc_id AS id1, doc_id + 1000000 AS id2,
+       true AS raw_rejects, true AS accepted
+FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6790,6 +6864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_event_cube_rollup": q109_event_cube_rollup,
         "q110_clips_integrity_audit": q110_clips_integrity_audit,
         "q111_event_gapfill": q111_event_gapfill,
+        "q112_audio_polarity_pairs": q112_audio_polarity_pairs,
     }
 
 
@@ -6905,6 +6980,7 @@ def oracle_sql() -> dict[str, str]:
         "q109_event_cube_rollup": _Q109_SQL,
         "q110_clips_integrity_audit": _Q110_SQL,
         "q111_event_gapfill": _Q111_SQL,
+        "q112_audio_polarity_pairs": _Q112_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

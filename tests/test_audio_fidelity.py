@@ -193,3 +193,30 @@ def test_resample_udf_passthrough_and_convert(spark):
     ref = 0.4 * np.sin(2 * np.pi * 880.0 * i / sr) * 32767
     s = slice(256, sr - 256)
     assert snr_db(ref[s], y[s]) >= 30.0
+
+
+def test_polarity_snr_udf_restores_inverted_pairs(spark):
+    """x vs -x: raw SNR ~ -6.02 dB (noise = 2x), polarity-aware = inf."""
+    from pyspark.sql import functions as F
+
+    from text_similarity_node_spark.operators.audio import (
+        gain_pcm_udf,
+        pairwise_snr_polarity_udf,
+        pairwise_snr_udf,
+        synth_sine1s_pcm_udf,
+    )
+
+    df = (
+        spark.range(5).select(F.col("id").alias("doc_id"))
+        .withColumn("a", synth_sine1s_pcm_udf()(F.col("doc_id")))
+        .withColumn("b", gain_pcm_udf(-1.0)(F.col("a")))
+        .select(
+            pairwise_snr_udf("a", "b").alias("raw"),
+            pairwise_snr_polarity_udf("a", "b").alias("pol"),
+            pairwise_snr_polarity_udf("a", "a").alias("same"),
+        )
+    )
+    for r in df.collect():
+        assert abs(r.raw - (-6.0206)) < 0.01
+        assert r.pol == float("inf")
+        assert r.same == float("inf")

@@ -837,3 +837,26 @@ def synth_loop_pcm_udf(sr_hz: int = 16000, seg_len: int = 2048,
         return pd.Series(out)
 
     return udf
+
+
+@F.pandas_udf(T.DoubleType())
+def pairwise_snr_polarity_udf(ref_bytes: pd.Series, test_bytes: pd.Series) -> pd.Series:
+    """Polarity-robust fidelity verifier: max of SNR(test, ref) and
+    SNR(-test, ref).  A polarity-inverted copy (x -> -x: swapped balanced
+    wiring, a DAW export flag) is the SAME recording to every spectral
+    tier — |FFT| and therefore landmark hashes are sign-invariant — but
+    its raw SNR is catastrophic (noise = 2x, ~ -6 dB against itself), so
+    the plain verifier silently rejects exactly the pairs the candidate
+    stage was right about.  Checking both signs costs one negation per
+    pair and restores the verify; generalizing to arbitrary gain would
+    be the matched-filter (correlation) verifier, which q71's
+    gain-normalized pass covers."""
+    out = np.empty(len(ref_bytes), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(ref_bytes, test_bytes)):
+        if a is None or b is None:
+            out[i] = np.nan
+        else:
+            ref = decode_pcm_s16le(a)
+            test = decode_pcm_s16le(b)
+            out[i] = max(snr_db(ref, test), snr_db(ref, -test))
+    return pd.Series(out)
