@@ -6741,6 +6741,113 @@ FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
 """
 
 
+def q113_minhash_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash MERGEABILITY audit — the sketch-algebra property the
+    other sketch queries don't exercise: sketch(A ∪ B) = elementwise
+    min of sketch(A), sketch(B).  Per-language VOCABULARY sketches are
+    built by merging the per-document signatures with one groupBy of k
+    F.min aggregates — corpus-level vocabulary overlap WITHOUT ever
+    shuffling the token universe (the exact path explodes every
+    shingle; the merge path shuffles k longs per doc).  That is the
+    shape that survives 10^12 rows: signatures are also the pipeline's
+    existing per-doc artifact, so lang-level (or source-, or
+    snapshot-level) overlap comes from a reduction over data already
+    computed.  Estimator contract (q92 pattern): slot agreement of two
+    merged sketches estimates J(vocab1, vocab2); per lang pair the
+    measured |est - exact| must sit within 125000 micro (~5.5 sigma at
+    k=128, J~0.93; measured max ~47000 = 2.1 sigma).  The exact side
+    (isz, n1, n2, jexact_micro) is SQL-restatable and pins the truth;
+    est_within_bound carries the sketch-side verdict into the hash."""
+    from text_similarity_node_spark.operators.minhash import (
+        minhash_signature_udf,
+        signature_agreement_col,
+    )
+
+    k = 128
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", C.char_ngrams(F.col("text"), 5).alias("toks")
+    )
+    sig = docs.withColumn("sig", minhash_signature_udf(k, 42)(F.col("toks")))
+    merged = sig.groupBy("lang").agg(
+        F.array(*[F.min(F.element_at("sig", i + 1)) for i in range(k)]).alias(
+            "vsig"
+        )
+    )
+    a, b = merged.alias("a"), merged.alias("b")
+    est = a.join(b, F.col("a.lang") < F.col("b.lang")).select(
+        F.col("a.lang").alias("lang1"),
+        F.col("b.lang").alias("lang2"),
+        (
+            signature_agreement_col(F.col("a.vsig"), F.col("b.vsig"), k)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("est_micro"),
+    )
+    vocab = docs.select("lang", F.explode("toks").alias("g")).distinct()
+    va, vb = vocab.alias("va"), vocab.alias("vb")
+    inter = (
+        va.join(
+            vb,
+            (F.col("va.g") == F.col("vb.g"))
+            & (F.col("va.lang") < F.col("vb.lang")),
+        )
+        .groupBy(
+            F.col("va.lang").alias("lang1"), F.col("vb.lang").alias("lang2")
+        )
+        .agg(F.count(F.lit(1)).alias("isz"))
+    )
+    sz = vocab.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        inter.join(
+            F.broadcast(sz.select(F.col("lang").alias("lang1"), F.col("n").alias("n1"))),
+            "lang1",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("lang").alias("lang2"), F.col("n").alias("n2"))),
+            "lang2",
+        )
+        .withColumn(
+            "jexact_micro",
+            F.expr("(isz * 1000000L) div (n1 + n2 - isz)"),
+        )
+    )
+    return (
+        exact.join(F.broadcast(est), ["lang1", "lang2"])
+        .select(
+            "lang1",
+            "lang2",
+            "isz",
+            "n1",
+            "n2",
+            "jexact_micro",
+            (
+                F.abs(F.col("est_micro") - F.col("jexact_micro")) <= 125_000
+            ).alias("est_within_bound"),
+        )
+    )
+
+
+_Q113_SQL = """
+WITH g AS (
+  SELECT DISTINCT lang, substring(text, i, 5) AS gm
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i)
+  WHERE length(text) > 0
+), sz AS (
+  SELECT lang, count(*)::BIGINT AS n FROM g GROUP BY lang
+), ix AS (
+  SELECT a.lang AS lang1, b.lang AS lang2, count(*)::BIGINT AS isz
+  FROM g a JOIN g b ON a.gm = b.gm AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT lang1, lang2, isz, s1.n AS n1, s2.n AS n2,
+       ((isz * 1000000) // (s1.n + s2.n - isz))::BIGINT AS jexact_micro,
+       true AS est_within_bound
+FROM ix JOIN sz s1 ON s1.lang = lang1 JOIN sz s2 ON s2.lang = lang2
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6865,6 +6972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_clips_integrity_audit": q110_clips_integrity_audit,
         "q111_event_gapfill": q111_event_gapfill,
         "q112_audio_polarity_pairs": q112_audio_polarity_pairs,
+        "q113_minhash_merge_audit": q113_minhash_merge_audit,
     }
 
 
@@ -6981,6 +7089,7 @@ def oracle_sql() -> dict[str, str]:
         "q110_clips_integrity_audit": _Q110_SQL,
         "q111_event_gapfill": _Q111_SQL,
         "q112_audio_polarity_pairs": _Q112_SQL,
+        "q113_minhash_merge_audit": _Q113_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -64,6 +64,8 @@ BNLJ_OK = {
     "q93_threshold_sweep": "broadcast threshold grid (constant rows)",
     "q75_mixture_rebalance": "one-row corpus total + per-group keep "
     "thresholds (<= n_groups rows) broadcast back over documents",
+    "q113_minhash_merge_audit": "lang-level merged-sketch self-join "
+    "(<= n_langs rows by construction) under an inequality predicate",
 }
 
 # Queries allowed to contain CartesianProduct in the FINAL plan.  Empty on

@@ -53,3 +53,28 @@ def test_signature_deterministic_and_order_insensitive():
     shuffled = toks.copy()
     random.shuffle(shuffled)
     assert (_sig(toks) == _sig(shuffled)).all()
+
+
+def test_signature_merge_is_union_sketch(spark):
+    """sketch(A ∪ B) == elementwise min of sketch(A), sketch(B) — the
+    mergeability property q113 builds per-language vocabulary sketches
+    on.  Holds exactly because each slot is a min over per-token mixes."""
+    from pyspark.sql import functions as F
+
+    from text_similarity_node_spark.operators.minhash import minhash_signature_udf
+
+    k = 64
+    rows = [
+        (0, ["a", "b", "c"]),
+        (1, ["c", "d", "e", "f"]),
+        (2, ["a", "b", "c", "d", "e", "f"]),  # union of 0 and 1
+    ]
+    df = spark.createDataFrame(rows, "rid int, toks array<string>")
+    sigs = {
+        r.rid: r.sig
+        for r in df.withColumn(
+            "sig", minhash_signature_udf(k, 42)(F.col("toks"))
+        ).collect()
+    }
+    merged = [min(x, y) for x, y in zip(sigs[0], sigs[1])]
+    assert merged == sigs[2]
