@@ -6848,6 +6848,36 @@ FROM ix JOIN sz s1 ON s1.lang = lang1 JOIN sz s2 ON s2.lang = lang2
 """
 
 
+def q114_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k through the skew-aware two-stage window
+    (operators/topk.grouped_topk): top-3 longest documents per
+    language.  The naive PARTITION BY lang window ships EVERY row of a
+    language to one task — with a handful of languages that is a
+    5-task plan at any cluster size, and one hot language owns its
+    whole mass.  The salted first pass keeps top-k per (lang, salt)
+    sub-group (parallelism x 32, sort over 1/32 of the rows), the
+    second pass ranks the <= k*32 survivors — constant work per group.
+    Same disposition idea as the LSH band join, applied to an
+    aggregation.  Total order via (n_chars desc, doc_id asc) makes the
+    result deterministic; DuckDB restates it with a QUALIFY window."""
+    from text_similarity_node_spark.operators.topk import grouped_topk
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return grouped_topk(
+        docs, ["lang"], "n_chars", 3, ["doc_id"], salt_buckets=32
+    ).select("lang", "doc_id", "n_chars", "rn")
+
+
+_Q114_SQL = """
+SELECT lang, doc_id, n_chars, rn FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC)::INT AS rn
+  FROM documents
+) WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6973,6 +7003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_event_gapfill": q111_event_gapfill,
         "q112_audio_polarity_pairs": q112_audio_polarity_pairs,
         "q113_minhash_merge_audit": q113_minhash_merge_audit,
+        "q114_grouped_topk": q114_grouped_topk,
     }
 
 
@@ -7090,6 +7121,7 @@ def oracle_sql() -> dict[str, str]:
         "q111_event_gapfill": _Q111_SQL,
         "q112_audio_polarity_pairs": _Q112_SQL,
         "q113_minhash_merge_audit": _Q113_SQL,
+        "q114_grouped_topk": _Q114_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
