@@ -6878,6 +6878,85 @@ SELECT lang, doc_id, n_chars, rn FROM (
 """
 
 
+def q115_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding CENTROID DRIFT between two snapshot halves
+    (vec_id parity) — the distribution-shift monitor a training
+    pipeline runs before mixing a new crawl into an old corpus: a
+    label whose centroid moved is a cluster whose meaning drifted (or
+    an upstream embedding-model change).  Exactness discipline: each
+    component is milli-quantized to BIGINT once (round(v*1000) — the
+    only step touching floats), then everything is integer: per-dim
+    conditional sums s0_d/s1_d in ONE map-side-combined aggregation
+    over the posexploded (label, dim) grid, and the division-free
+    drift Sum_d (s0_d*n1 - s1_d*n0)^2 — comparing n1-scaled and
+    n0-scaled centroids avoids rational centroids entirely (bounded:
+    |q|<=~3e3, n<=~250 -> the squared term < 4e15, the 64-dim sum
+    < 3e17, inside int64).  The dim-level grid is |labels|*64 rows —
+    microscopic at any corpus size; the wide work is the single
+    explode-aggregate pass."""
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    q = F.round(F.col("v") * 1000).cast("long")
+    par0 = F.col("vec_id") % 2 == 0
+    grid = (
+        emb.withColumn("q", q)
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.when(par0, F.col("q")).otherwise(F.lit(0))).alias("s0"),
+            F.sum(F.when(~par0, F.col("q")).otherwise(F.lit(0))).alias("s1"),
+        )
+    )
+    counts = (
+        _load(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n0"),
+            F.sum(F.when(F.col("vec_id") % 2 != 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+        )
+    )
+    return (
+        grid.join(F.broadcast(counts), "label")
+        .groupBy("label", "n0", "n1")
+        .agg(
+            F.sum(
+                (F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0"))
+                * (F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0"))
+            ).alias("drift_sq")
+        )
+        .select("label", "n0", "n1", "drift_sq")
+    )
+
+
+_Q115_SQL = """
+WITH ex AS (
+  SELECT label, vec_id % 2 AS par,
+         generate_subscripts(embedding, 1) AS dim,
+         round(unnest(embedding) * 1000)::BIGINT AS q
+  FROM embeddings
+), grid AS (
+  SELECT label, dim,
+         sum(CASE WHEN par = 0 THEN q ELSE 0 END)::BIGINT AS s0,
+         sum(CASE WHEN par = 1 THEN q ELSE 0 END)::BIGINT AS s1
+  FROM ex GROUP BY label, dim
+), counts AS (
+  SELECT label,
+         sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+  FROM embeddings GROUP BY label
+)
+SELECT g.label, c.n0, c.n1,
+       sum((g.s0 * c.n1 - g.s1 * c.n0) * (g.s0 * c.n1 - g.s1 * c.n0))::BIGINT
+         AS drift_sq
+FROM grid g JOIN counts c ON g.label = c.label
+GROUP BY g.label, c.n0, c.n1
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7004,6 +7083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_audio_polarity_pairs": q112_audio_polarity_pairs,
         "q113_minhash_merge_audit": q113_minhash_merge_audit,
         "q114_grouped_topk": q114_grouped_topk,
+        "q115_embedding_centroid_drift": q115_embedding_centroid_drift,
     }
 
 
@@ -7122,6 +7202,7 @@ def oracle_sql() -> dict[str, str]:
         "q112_audio_polarity_pairs": _Q112_SQL,
         "q113_minhash_merge_audit": _Q113_SQL,
         "q114_grouped_topk": _Q114_SQL,
+        "q115_embedding_centroid_drift": _Q115_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
