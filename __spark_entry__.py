@@ -6957,6 +6957,52 @@ GROUP BY g.label, c.n0, c.n1
 """
 
 
+def q116_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance (operators/
+    components.incremental_components) — the daily-ingest shape: at
+    10^12 rows yesterday's edge list is never re-walked; an epoch of
+    new edges touches only the components it reaches, whose STARS
+    (member -> cluster_id, connectivity-equivalent to the component)
+    join the new edges in a mini-CC while untouched labels pass
+    through.  Here q14's exact-dup edge graph is split by parity of
+    (id1 + id2); prior labels come from epoch 1, epoch 2 arrives
+    incrementally — the result must be IDENTICAL to full CC over the
+    union, i.e. exactly q14's oracle (text-equality groups), which is
+    what makes the maintenance path driver-checkable: any vertex the
+    incremental path drops, double-labels, or mis-merges breaks the
+    hash."""
+    from text_similarity_node_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    corpus = _dedup_corpus(spark, sf_dir)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.text") == F.col("b.text"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+    edges = edges.persist()
+    epoch1 = edges.filter((F.col("id1") + F.col("id2")) % 2 == 0)
+    epoch2 = edges.filter((F.col("id1") + F.col("id2")) % 2 != 0)
+    prior = connected_components(epoch1)
+    return incremental_components(prior, epoch2).select(
+        F.col("clip_id").alias("doc_id"), F.col("cluster_id").alias("cluster_id")
+    )
+
+
+_Q116_SQL = f"""
+WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+groups AS (
+  SELECT text, min(doc_id) AS cluster_id, count(*) AS n
+  FROM corpus GROUP BY text HAVING count(*) >= 2
+)
+SELECT c.doc_id AS doc_id, g.cluster_id AS cluster_id
+FROM corpus c JOIN groups g ON c.text = g.text
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7084,6 +7130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_minhash_merge_audit": q113_minhash_merge_audit,
         "q114_grouped_topk": q114_grouped_topk,
         "q115_embedding_centroid_drift": q115_embedding_centroid_drift,
+        "q116_incremental_cc": q116_incremental_cc,
     }
 
 
@@ -7203,6 +7250,7 @@ def oracle_sql() -> dict[str, str]:
         "q113_minhash_merge_audit": _Q113_SQL,
         "q114_grouped_topk": _Q114_SQL,
         "q115_embedding_centroid_drift": _Q115_SQL,
+        "q116_incremental_cc": _Q116_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

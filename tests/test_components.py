@@ -122,3 +122,52 @@ def test_twostar_in_pipeline_config():
 
     cfg = PipelineConfig(cc_algorithm="twostar")
     assert cfg.cc_algorithm == "twostar"
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_equals_full_under_any_split(spark):
+    """CC(prior_epoch) + incremental(new_epoch) == CC(all edges), for a
+    graph whose second epoch merges previously separate clusters, adds
+    brand-new vertices, and leaves some components untouched."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from text_similarity_node_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    random.seed(23)
+    edges = set()
+    # chains of 4 over 40 bases -> 10 components; epoch 2 merges pairs of
+    # them, attaches new vertices 1000+, and leaves half the graph alone
+    for c in range(10):
+        base = c * 4
+        for i in range(3):
+            edges.add((base + i, base + i + 1))
+    all_edges = sorted(edges)
+    random.shuffle(all_edges)
+    epoch1 = all_edges[: len(all_edges) // 2]
+    epoch2 = all_edges[len(all_edges) // 2 :]
+    epoch2 += [(3, 7), (11, 19), (1000, 2), (1001, 1000)]  # merges + new vids
+
+    e1 = spark.createDataFrame(epoch1, "id1 long, id2 long")
+    e2 = spark.createDataFrame(epoch2, "id1 long, id2 long")
+    full = spark.createDataFrame(
+        sorted(set(epoch1) | set(epoch2)), "id1 long, id2 long"
+    )
+
+    prior = connected_components(e1)
+    got = {
+        (r.clip_id, r.cluster_id)
+        for r in incremental_components(prior, e2).collect()
+    }
+    want = {
+        (r.clip_id, r.cluster_id) for r in connected_components(full).collect()
+    }
+    assert got == want

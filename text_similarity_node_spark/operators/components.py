@@ -203,3 +203,57 @@ def connected_components(
 
 
 connected_components.last_iterations = 0
+
+
+def incremental_components(
+    prior_labels: DataFrame,
+    new_edges: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Update cluster labels with one epoch of NEW edges without
+    re-walking the old graph — the daily-ingest shape: at 10^12 rows
+    the full edge list is never recomputed; each epoch only touches
+    the components its new edges reach.
+
+    prior_labels(clip_id, cluster_id) + new_edges(id1, id2)
+    -> labels(clip_id, cluster_id) for every vertex in a non-singleton
+    component of the UNION graph — identical to running
+    :func:`connected_components` over (all old edges ∪ new edges),
+    proven in tests/test_components.py under arbitrary edge splits.
+
+    Why it is sound: a prior component is connectivity-equivalent to
+    its STAR (member -> cluster_id edges), so CC over (stars of
+    TOUCHED components ∪ new edges) reproduces exactly the merged
+    components; untouched components cannot change (no new edge
+    reaches them) and pass through unmodified.  Cost scales with the
+    affected-component mass, not the corpus: two broadcast-sized
+    semi-joins pick the touched members, and the iterative CC runs on
+    the mini-graph only."""
+    ne = new_edges.select(F.col(id1).alias("id1"), F.col(id2).alias("id2"))
+    new_vids = (
+        ne.select(F.col("id1").alias("vid"))
+        .unionByName(ne.select(F.col("id2").alias("vid")))
+        .distinct()
+    )
+    touched_clusters = (
+        prior_labels.join(
+            new_vids, prior_labels.clip_id == new_vids.vid, "leftsemi"
+        )
+        .select("cluster_id")
+        .distinct()
+    )
+    touched_members = prior_labels.join(
+        touched_clusters, "cluster_id", "leftsemi"
+    )
+    star_edges = touched_members.filter(
+        F.col("clip_id") != F.col("cluster_id")
+    ).select(
+        F.col("clip_id").alias("id1"), F.col("cluster_id").alias("id2")
+    )
+    mini = connected_components(
+        star_edges.unionByName(ne), max_iterations=max_iterations
+    )
+    untouched = prior_labels.join(touched_clusters, "cluster_id", "left_anti")
+    return untouched.select("clip_id", "cluster_id").unionByName(mini)
