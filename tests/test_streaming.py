@@ -187,3 +187,46 @@ def test_over_cap_candidates_take_semi_join_path(spark, dirs, monkeypatch):
     pairs = {(r.id1, r.id2) for r in dedup.verified_pairs().collect()}
     for i in range(6):
         assert (f"h{i}", f"n{i}") in pairs, f"missing cross-batch pair {i}"
+
+
+def test_streaming_cluster_labels_match_batch_cc(spark, dirs):
+    """The per-batch label deltas (incremental_components, affected-only)
+    must compose to exactly the full CC over all verified pairs — across
+    batches that create clusters, extend them, and merge them."""
+    from text_similarity_node_spark.operators.components import (
+        connected_components,
+    )
+
+    src, state, ckpt = dirs
+    cfg = PipelineConfig(verify_threshold=0.8, run_id="stream_labels")
+    dedup = IncrementalDedup(spark, cfg, state)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "pack my box with five dozen liquor jugs for the long trip north"
+    _write_batch(
+        spark, src,
+        [("c1", base), ("c2", base + "!"), ("d1", other)],
+        "b1",
+    )
+    dedup.start(src + "/*", SCHEMA, ckpt).awaitTermination(120)
+    labels1 = {(r.clip_id, r.cluster_id)
+               for r in dedup.cluster_labels().collect()}
+    assert labels1 == {("c1", "c1"), ("c2", "c1")}
+
+    # batch 2 extends the c-cluster and starts the d-cluster
+    _write_batch(
+        spark, src,
+        [("c4", base + " extra"), ("d2", other + "!")],
+        "b2",
+    )
+    dedup.start(src + "/*", SCHEMA, ckpt).awaitTermination(120)
+
+    got = {(r.clip_id, r.cluster_id) for r in dedup.cluster_labels().collect()}
+    want = {
+        (r.clip_id, r.cluster_id)
+        for r in connected_components(
+            dedup.verified_pairs().select("id1", "id2")
+        ).collect()
+    }
+    assert got == want
+    assert ("c4", "c1") in got and ("d2", "d1") in got

@@ -211,6 +211,7 @@ def incremental_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iterations: int = 50,
+    affected_only: bool = False,
 ) -> DataFrame:
     """Update cluster labels with one epoch of NEW edges without
     re-walking the old graph — the daily-ingest shape: at 10^12 rows
@@ -255,5 +256,10 @@ def incremental_components(
     mini = connected_components(
         star_edges.unionByName(ne), max_iterations=max_iterations
     )
+    if affected_only:
+        # delta view for log-structured label stores: only vertices whose
+        # label was (re)computed this epoch — complete, because a touched
+        # component contributes its ENTIRE membership through its star
+        return mini
     untouched = prior_labels.join(touched_clusters, "cluster_id", "left_anti")
     return untouched.select("clip_id", "cluster_id").unionByName(mini)

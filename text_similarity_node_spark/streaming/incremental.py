@@ -72,6 +72,7 @@ class IncrementalDedup:
         self.bands_path = os.path.join(state_dir, "bands_store")
         self.docs_path = os.path.join(state_dir, "docs_store")
         self.pairs_path = os.path.join(state_dir, "verified_pairs")
+        self.labels_path = os.path.join(state_dir, "cluster_labels")
 
     def _store_exists(self, path: str) -> bool:
         return os.path.exists(path) and any(
@@ -172,6 +173,7 @@ class IncrementalDedup:
         verified.write.mode("overwrite").parquet(
             os.path.join(self.pairs_path, f"batch_id={int(batch_id)}")
         )
+        self._update_labels(batch_id)
         (
             new_bands.withColumn(
                 "bh_part", F.pmod(F.col("band_hash"), F.lit(_BAND_PARTITIONS))
@@ -248,3 +250,44 @@ class IncrementalDedup:
 
     def verified_pairs(self) -> DataFrame:
         return self.spark.read.parquet(self.pairs_path)
+
+    # --- incremental cluster-label maintenance ---------------------------
+
+    def _update_labels(self, batch_id: int) -> None:
+        """Maintain cluster labels across batches with
+        operators/components.incremental_components: this batch's
+        verified pairs touch only the components they reach, and only
+        those components' labels are recomputed and written — a DELTA
+        per batch (log-structured store, latest batch wins at read
+        time), never a full-label rewrite, so per-batch label cost
+        scales with affected mass like the rest of the sink.  Replay
+        safety: re-adding an already-applied edge set reproduces the
+        identical delta, and the batch-id-keyed dir is overwritten."""
+        from ..operators.components import incremental_components
+
+        new_pairs = self.spark.read.parquet(
+            os.path.join(self.pairs_path, f"batch_id={int(batch_id)}")
+        ).select("id1", "id2")
+        delta = incremental_components(
+            self.cluster_labels(), new_pairs, affected_only=True
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(self.labels_path, f"batch_id={int(batch_id)}")
+        )
+
+    def cluster_labels(self) -> DataFrame:
+        """Current (clip_id, cluster_id) view: per vertex, the label
+        delta from the most recent batch that touched it."""
+        from pyspark.sql import Window
+
+        if not self._store_exists(self.labels_path):
+            return self.spark.createDataFrame(
+                [], "clip_id string, cluster_id string"
+            )
+        deltas = self.spark.read.parquet(self.labels_path)
+        w = Window.partitionBy("clip_id").orderBy(F.col("batch_id").desc())
+        return (
+            deltas.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("clip_id", "cluster_id")
+        )
