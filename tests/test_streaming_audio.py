@@ -70,6 +70,22 @@ def test_streaming_equals_batch_under_slicing(spark, dirs):
     }
     assert stream_pairs == batch_pairs
 
+    # incrementally maintained labels == full CC over all verified pairs
+    from text_similarity_node_spark.operators.components import (
+        connected_components,
+    )
+
+    got_labels = {
+        (r.clip_id, r.cluster_id) for r in dedup.cluster_labels().collect()
+    }
+    want_labels = {
+        (r.clip_id, r.cluster_id)
+        for r in connected_components(
+            dedup.verified_pairs().select("id1", "id2")
+        ).collect()
+    }
+    assert got_labels == want_labels and got_labels
+
 
 def test_cross_batch_match_and_blob_at_rest(spark, dirs):
     """A clip arriving in batch 2 must pair with its batch-1 original via

@@ -78,6 +78,7 @@ class IncrementalAudioDedup:
         self.clips_path = os.path.join(state_dir, "clips_store")
         self.hot_path = os.path.join(state_dir, "hot_store")
         self.pairs_path = os.path.join(state_dir, "verified_pairs")
+        self.labels_path = os.path.join(state_dir, "cluster_labels")
 
     def _store_exists(self, path: str) -> bool:
         return os.path.exists(path) and any(
@@ -220,6 +221,11 @@ class IncrementalAudioDedup:
         verified.write.mode("overwrite").parquet(
             os.path.join(self.pairs_path, f"batch_id={int(batch_id)}")
         )
+        # incremental cluster labels (streaming/labels.py): affected-only
+        # deltas, latest batch wins at read time
+        from .labels import update_labels
+
+        update_labels(self.spark, self.pairs_path, self.labels_path, batch_id)
 
         # persist state (all batch-keyed or append-only-by-construction)
         hot_rows = batch_hot.select(
@@ -266,6 +272,12 @@ class IncrementalAudioDedup:
         return self.spark.read.option("recursiveFileLookup", "true").parquet(
             self.pairs_path
         )
+
+    def cluster_labels(self) -> DataFrame:
+        """Current (clip_id, cluster_id) view (streaming/labels.py)."""
+        from .labels import current_labels
+
+        return current_labels(self.spark, self.labels_path)
 
     def hot_hashes(self) -> DataFrame:
         """The learned hot set with detection-time fanout (durable metrics)."""

@@ -252,42 +252,14 @@ class IncrementalDedup:
         return self.spark.read.parquet(self.pairs_path)
 
     # --- incremental cluster-label maintenance ---------------------------
+    # (shared machinery + scale/replay rationale: streaming/labels.py)
 
     def _update_labels(self, batch_id: int) -> None:
-        """Maintain cluster labels across batches with
-        operators/components.incremental_components: this batch's
-        verified pairs touch only the components they reach, and only
-        those components' labels are recomputed and written — a DELTA
-        per batch (log-structured store, latest batch wins at read
-        time), never a full-label rewrite, so per-batch label cost
-        scales with affected mass like the rest of the sink.  Replay
-        safety: re-adding an already-applied edge set reproduces the
-        identical delta, and the batch-id-keyed dir is overwritten."""
-        from ..operators.components import incremental_components
+        from .labels import update_labels
 
-        new_pairs = self.spark.read.parquet(
-            os.path.join(self.pairs_path, f"batch_id={int(batch_id)}")
-        ).select("id1", "id2")
-        delta = incremental_components(
-            self.cluster_labels(), new_pairs, affected_only=True
-        )
-        delta.write.mode("overwrite").parquet(
-            os.path.join(self.labels_path, f"batch_id={int(batch_id)}")
-        )
+        update_labels(self.spark, self.pairs_path, self.labels_path, batch_id)
 
     def cluster_labels(self) -> DataFrame:
-        """Current (clip_id, cluster_id) view: per vertex, the label
-        delta from the most recent batch that touched it."""
-        from pyspark.sql import Window
+        from .labels import current_labels
 
-        if not self._store_exists(self.labels_path):
-            return self.spark.createDataFrame(
-                [], "clip_id string, cluster_id string"
-            )
-        deltas = self.spark.read.parquet(self.labels_path)
-        w = Window.partitionBy("clip_id").orderBy(F.col("batch_id").desc())
-        return (
-            deltas.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("clip_id", "cluster_id")
-        )
+        return current_labels(self.spark, self.labels_path)
