@@ -7003,6 +7003,64 @@ FROM corpus c JOIN groups g ON c.text = g.text
 """
 
 
+def q117_channel_layout_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-layout-normalized audio dedup: a mono recording
+    re-shipped in a stereo container (dual-mono, L = R — the most
+    common layout re-encode in the wild) is byte-disjoint from its
+    source, defeats md5/CDC AND the landmark join (interleaved bytes
+    decode to a different waveform), so the pipeline must NORMALIZE
+    LAYOUT FIRST: stereo rows downmix to mono (trunc((L+R)/2),
+    operators/audio.downmix_pcm_udf — dual-mono reproduces the source
+    EXACTLY), then the standard landmark-candidates -> SNR-verify path
+    runs on the normalized payloads.  One conditional map over the
+    BLOB (never shuffled), then q32's join shape.
+
+    Corpus: mono bases doc_id < 300 (unique sine classes), dual-mono
+    stereo re-encodes at doc_id + 1_000_000 for doc_id % 4 == 0.
+    After normalization the copy is byte-identical to its source, so
+    every planted pair verifies at SNR = inf and cross-base pairs are
+    impossible (disjoint frequencies); the oracle restates the
+    congruence."""
+    from text_similarity_node_spark.operators.audio import (
+        downmix_pcm_udf,
+        mono_to_stereo_pcm_udf,
+        synth_sine1s_pcm_udf,
+    )
+    from text_similarity_node_spark.operators.audio_fp import audio_neardup
+
+    base = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(F.col("doc_id").alias("clip_id"))
+        .withColumn("bytes", synth_sine1s_pcm_udf()(F.col("clip_id")))
+        .withColumn("layout", F.lit("mono"))
+    )
+    stereo = base.filter(F.col("clip_id") % 4 == 0).select(
+        (F.col("clip_id") + 1_000_000).alias("clip_id"),
+        mono_to_stereo_pcm_udf(F.col("bytes")).alias("bytes"),
+        F.lit("stereo").alias("layout"),
+    )
+    corpus = base.unionByName(stereo).withColumn(
+        "norm_bytes",
+        F.when(
+            F.col("layout") == "stereo", downmix_pcm_udf(F.col("bytes"))
+        ).otherwise(F.col("bytes")),
+    ).withColumn("sr_hz", F.lit(16000))
+    pairs = audio_neardup(
+        corpus, "clip_id", "norm_bytes", "sr_hz",
+        snr_threshold_db=30.0, min_matches=2,
+        frame_len=4096, hop=2048, peaks_per_frame=1, fanout=2,
+        freq_quant_hz=1.0,
+    )
+    return pairs.select("id1", "id2")
+
+
+_Q117_SQL = """
+SELECT doc_id AS id1, doc_id + 1000000 AS id2
+FROM documents WHERE doc_id < 300 AND doc_id % 4 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7131,6 +7189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_grouped_topk": q114_grouped_topk,
         "q115_embedding_centroid_drift": q115_embedding_centroid_drift,
         "q116_incremental_cc": q116_incremental_cc,
+        "q117_channel_layout_dedup": q117_channel_layout_dedup,
     }
 
 
@@ -7251,6 +7310,7 @@ def oracle_sql() -> dict[str, str]:
         "q114_grouped_topk": _Q114_SQL,
         "q115_embedding_centroid_drift": _Q115_SQL,
         "q116_incremental_cc": _Q116_SQL,
+        "q117_channel_layout_dedup": _Q117_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -152,3 +152,36 @@ def test_normalize_gain_semantics(spark):
     assert (rc.peak_in, rc.gain_micro, rc.peak_out, rc.checksum_out) == (
         0, 0, 0, 0,
     )
+
+
+def test_downmix_pcm_dual_mono_roundtrip(spark):
+    """mono -> dual-mono stereo -> downmix reproduces the source bytes
+    exactly (the q117 normalization contract), and a genuinely panned
+    stereo payload downmixes to trunc((L+R)/2)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from text_similarity_node_spark.operators.audio import (
+        downmix_pcm_udf,
+        mono_to_stereo_pcm_udf,
+        synth_sine1s_pcm_udf,
+    )
+
+    df = (
+        spark.range(4).select(F.col("id").alias("doc_id"))
+        .withColumn("mono", synth_sine1s_pcm_udf()(F.col("doc_id")))
+        .withColumn("stereo", mono_to_stereo_pcm_udf(F.col("mono")))
+        .withColumn("back", downmix_pcm_udf(F.col("stereo")))
+    )
+    for r in df.collect():
+        assert r.back == r.mono
+        assert len(r.stereo) == 2 * len(r.mono)
+
+    # panned case: L = x, R = 0 -> trunc(x/2)
+    x = np.array([100, -101, 32767, -32768], dtype="<i2")
+    st = np.zeros(8, dtype="<i2")
+    st[0::2] = x
+    pan = spark.createDataFrame([(bytes(st.tobytes()),)], "b binary")
+    out = pan.select(downmix_pcm_udf("b").alias("m")).collect()[0].m
+    got = np.frombuffer(out, dtype="<i2").tolist()
+    assert got == [50, -50, 16383, -16384]  # trunc toward zero

@@ -860,3 +860,43 @@ def pairwise_snr_polarity_udf(ref_bytes: pd.Series, test_bytes: pd.Series) -> pd
             test = decode_pcm_s16le(b)
             out[i] = max(snr_db(ref, test), snr_db(ref, -test))
     return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def downmix_pcm_udf(payload: pd.Series) -> pd.Series:
+    """Interleaved stereo pcm_s16le (LRLR...) -> mono pcm_s16le bytes,
+    trunc((L+R)/2) per frame — the same toward-zero halves convention as
+    ``downmix_stats_udf``, emitted as a payload instead of evidence ints
+    so the mono result can feed the fingerprint/SNR dedup path (q117's
+    channel-layout normalization).  Dual-mono input (L == R) reproduces
+    the source EXACTLY; odd trailing bytes are dropped as torn frames."""
+    out = []
+    for b in payload:
+        if b is None or len(b) < 4:
+            out.append(b"")
+            continue
+        x = np.frombuffer(b, dtype="<i2").astype(np.int64)
+        n = len(x) // 2
+        left, right = x[0 : 2 * n : 2], x[1 : 2 * n : 2]
+        m = np.trunc((left + right) / 2.0).astype("<i2")
+        out.append(m.tobytes())
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def mono_to_stereo_pcm_udf(payload: pd.Series) -> pd.Series:
+    """Mono pcm_s16le -> dual-mono interleaved stereo (L = R = source) —
+    the most common channel-layout re-encode in the wild (a mono
+    recording shipped in a stereo container); byte-doubling, content
+    identical.  The q117 fixture's planted transformation."""
+    out = []
+    for b in payload:
+        if b is None:
+            out.append(None)
+            continue
+        x = np.frombuffer(b, dtype="<i2")
+        st = np.empty(2 * len(x), dtype="<i2")
+        st[0::2] = x
+        st[1::2] = x
+        out.append(st.tobytes())
+    return pd.Series(out)
