@@ -62,3 +62,31 @@ def test_cli_surface():
     assert r.returncode == 1 and json.loads(r.stdout)["success"] is False
     r = run("algorithms")
     assert len(r.stdout.split()) == 13
+
+
+def test_register_sql_functions(spark):
+    """Every kernel callable from plain SQL, same values as the scalar
+    kernels (the reference's index.js surface reached via spark.sql)."""
+    from text_similarity_node_spark.config import Algorithm, AlgorithmConfig
+    from text_similarity_node_spark.engine import register_sql_functions
+    from text_similarity_node_spark.functions import kernels
+
+    names = register_sql_functions(spark)
+    assert len(names) == 26  # 13 kernels x {sim, dist}
+    df = spark.sql(
+        "SELECT tsn_sim_levenshtein('hello', 'hallo') AS a,"
+        "       tsn_dist_levenshtein('kitten', 'sitting') AS b,"
+        "       tsn_sim_jaccard('night day', 'day night') AS c,"
+        "       tsn_sim_tversky('abc', 'abd') AS d"
+    ).collect()[0]
+    assert df.a == 0.8
+    assert df.b == 3.0
+    cfgj = AlgorithmConfig(algorithm=Algorithm.JACCARD)
+    assert df.c == kernels.similarity("night day", "day night", cfgj)
+    cfgt = AlgorithmConfig(algorithm=Algorithm.TVERSKY, alpha=0.5, beta=0.5)
+    assert df.d == kernels.similarity("abc", "abd", cfgt)
+
+    # overrides fix the config for a second registration under a prefix
+    register_sql_functions(spark, prefix="tsnci", case_sensitive=False)
+    r = spark.sql("SELECT tsnci_sim_levenshtein('HELLO', 'hello') AS v").collect()[0]
+    assert r.v == 1.0

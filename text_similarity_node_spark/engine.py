@@ -176,3 +176,41 @@ def tversky(s1: str, s2: str, alpha: float, beta: float, use_words: bool = False
         preprocessing=Preprocessing.WORD if use_words else Preprocessing.NGRAM,
         case_sensitive=case_sensitive, ngram_size=ngram_size,
     )
+
+
+def register_sql_functions(
+    spark: SparkSession, prefix: str = "tsn", **config_overrides
+) -> list[str]:
+    """Register every reference kernel as a SQL-callable function —
+    ``tsn_sim_jaccard(s1, s2)``, ``tsn_dist_levenshtein(s1, s2)``, … —
+    so the reference's programmatic API (index.js ``similarity(s1, s2,
+    config)``) is reachable from plain ``spark.sql`` strings, views,
+    and BI tools, not only from the DataFrame API.  One Arrow-batched
+    pandas UDF per (kernel, channel); kernel semantics and edge rules
+    are the same scalar functions the DataFrame path uses
+    (functions/kernels.py), so SQL and DataFrame callers cannot
+    diverge.  ``config_overrides`` fix the AlgorithmConfig for every
+    registered function (e.g. ``ngram_size=2, case_sensitive=False``);
+    register twice with different prefixes for different configs.
+
+    Returns the registered function names.  Scale note: these are the
+    slow-path per-pair kernels — for joins over corpora, use the
+    candidate-generation operators; this surface exists for ad-hoc SQL
+    and for verifying small candidate sets in SQL pipelines."""
+    from .config import Algorithm
+    from .functions.spark_udfs import distance_udf, similarity_udf
+
+    names: list[str] = []
+    for algo in Algorithm:
+        cfg_kw = dict(config_overrides)
+        if algo is Algorithm.TVERSKY and "alpha" not in cfg_kw:
+            cfg_kw.update(alpha=0.5, beta=0.5)  # reference's symmetric default
+        cfg = AlgorithmConfig(algorithm=algo, **cfg_kw)
+        key = algo.name.lower()
+        sim_name = f"{prefix}_sim_{key}"
+        spark.udf.register(sim_name, similarity_udf(cfg))
+        names.append(sim_name)
+        dist_name = f"{prefix}_dist_{key}"
+        spark.udf.register(dist_name, distance_udf(cfg))
+        names.append(dist_name)
+    return names
