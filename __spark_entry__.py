@@ -7061,6 +7061,46 @@ FROM documents WHERE doc_id < 300 AND doc_id % 4 = 0
 """
 
 
+def q118_sql_surface_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-callable kernel surface (engine.register_sql_functions)
+    exercised end-to-end in the correctness gate: the whole query is a
+    ``spark.sql`` string — blocked self-join on (lang, |Δn_chars| <= 3)
+    then a ``tsn_sim_levenshtein`` filter — the ad-hoc-analyst path (BI
+    tools, SQL notebooks) that never touches the DataFrame API.  The
+    registered UDF is the same scalar kernel the DataFrame path uses
+    (functions/kernels.py via functions/spark_udfs.py), so a hash match
+    against DuckDB's levenshtein certifies that the SQL spelling cannot
+    drift from the engine's semantics.  Blocking keeps the kernel on
+    the post-filter candidate set — the registered functions are the
+    per-pair slow path by contract, not a join strategy."""
+    from text_similarity_node_spark.engine import register_sql_functions
+
+    register_sql_functions(spark)
+    _load(spark, sf_dir, "documents").createOrReplaceTempView("tsn_docs")
+    return spark.sql(
+        """
+        SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+               round(tsn_sim_levenshtein(a.text, b.text), 6) AS lev_sim
+        FROM tsn_docs a JOIN tsn_docs b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 3
+        WHERE tsn_sim_levenshtein(a.text, b.text) >= 0.78
+        """
+    )
+
+
+_Q118_SQL = """
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       round(1.0 - levenshtein(a.text, b.text)::DOUBLE
+                   / greatest(length(a.text), length(b.text)), 6) AS lev_sim
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= 3
+WHERE 1.0 - levenshtein(a.text, b.text)::DOUBLE
+            / greatest(length(a.text), length(b.text)) >= 0.78
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7190,6 +7230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_embedding_centroid_drift": q115_embedding_centroid_drift,
         "q116_incremental_cc": q116_incremental_cc,
         "q117_channel_layout_dedup": q117_channel_layout_dedup,
+        "q118_sql_surface_pairs": q118_sql_surface_pairs,
     }
 
 
@@ -7311,6 +7352,7 @@ def oracle_sql() -> dict[str, str]:
         "q115_embedding_centroid_drift": _Q115_SQL,
         "q116_incremental_cc": _Q116_SQL,
         "q117_channel_layout_dedup": _Q117_SQL,
+        "q118_sql_surface_pairs": _Q118_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -230,3 +230,27 @@ def test_streaming_cluster_labels_match_batch_cc(spark, dirs):
     }
     assert got == want
     assert ("c4", "c1") in got and ("d2", "d1") in got
+
+
+def test_label_delta_replay_idempotent(spark, dirs):
+    """A crash between the label write and the checkpoint commit replays
+    the batch: re-applying the same edges against state that already
+    includes them must reproduce the identical label view (the delta dir
+    is batch-keyed and overwritten; adding present edges changes no
+    component)."""
+    src, state, ckpt = dirs
+    cfg = PipelineConfig(verify_threshold=0.8, run_id="stream_replay")
+    dedup = IncrementalDedup(spark, cfg, state)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    batch = spark.createDataFrame(
+        [("c1", base), ("c2", base + "!"), ("c3", "unrelated words entirely")],
+        SCHEMA,
+    )
+    dedup.process_batch(batch, 0)
+    labels_first = {(r.clip_id, r.cluster_id)
+                    for r in dedup.cluster_labels().collect()}
+    dedup.process_batch(batch, 0)  # replay
+    labels_replayed = {(r.clip_id, r.cluster_id)
+                       for r in dedup.cluster_labels().collect()}
+    assert labels_first == labels_replayed == {("c1", "c1"), ("c2", "c1")}
