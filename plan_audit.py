@@ -152,10 +152,23 @@ def audit(sf_dir: str, only: list[str] | None) -> int:
         "| query | rows | shuffles | broadcasts | BNLJ | cartesian | cached scans | note |",
         "|---|---|---|---|---|---|---|---|",
     ]
-    for name, n, shuf, bcast, bnlj, cart, imts, note in rows_out:
-        lines.append(
-            f"| {name} | {n} | {shuf} | {bcast} | {bnlj} | {cart} | {imts} | {note} |"
-        )
+    table = {
+        name: f"| {name} | {n} | {shuf} | {bcast} | {bnlj} | {cart} | {imts} | {note} |"
+        for name, n, shuf, bcast, bnlj, cart, imts, note in rows_out
+    }
+    if only:
+        # Partial (--only) runs MERGE into the existing table instead of
+        # clobbering the full-sweep report (the q118-only run once replaced
+        # the whole 95-query table with one row).
+        try:
+            with open("docs/PLAN_AUDIT.md") as fh:
+                for ln in fh:
+                    if ln.startswith("| q"):
+                        prior = ln.rstrip("\n").split(" | ")[0].lstrip("| ")
+                        table.setdefault(prior, ln.rstrip("\n"))
+        except FileNotFoundError:
+            pass
+    lines.extend(table[k] for k in sorted(table))
     lines.append("")
     if failures:
         lines.append("## FAILURES")

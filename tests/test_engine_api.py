@@ -72,7 +72,7 @@ def test_register_sql_functions(spark):
     from text_similarity_node_spark.functions import kernels
 
     names = register_sql_functions(spark)
-    assert len(names) == 26  # 13 kernels x {sim, dist}
+    assert len(names) == 27  # 13 kernels x {sim, dist} + tsn_tokenize UDTF
     df = spark.sql(
         "SELECT tsn_sim_levenshtein('hello', 'hallo') AS a,"
         "       tsn_dist_levenshtein('kitten', 'sitting') AS b,"

@@ -213,4 +213,7 @@ def register_sql_functions(
         dist_name = f"{prefix}_dist_{key}"
         spark.udf.register(dist_name, distance_udf(cfg))
         names.append(dist_name)
+    from .functions.sql_udtf import register_sql_udtfs
+
+    names.extend(register_sql_udtfs(spark, prefix=prefix))
     return names
