@@ -7101,6 +7101,51 @@ WHERE 1.0 - levenshtein(a.text, b.text)::DOUBLE
 """
 
 
+def q119_audio_hk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-content near-dup pairs via the SECOND fingerprint family —
+    Haitsma-Kalker band-energy-difference sign bits + bit-error-rate
+    verify (operators/audio_hk.py) — covering the broadband-spectral-
+    shape regime the landmark scheme (q32) is blind to.  Corpus: one
+    deterministic broadband clip per doc (class = doc_id % 100 keys a
+    seeded per-segment band-amplitude pattern) plus seeded noisy copies
+    (~35 dB SNR) at doc_id + 1_000_000 for doc_id % 6 == 0; the id
+    congruence mod 100 is the SQL ground truth.  Measured separation on
+    this family: intra-class BER <= 0.011, inter-class >= 0.44, so the
+    0.25 verify threshold recovers exactly the congruence pairs (recall
+    and precision both 1.0) — any missed/extra pair breaks the hash."""
+    from text_similarity_node_spark.operators.audio_hk import (
+        hk_neardup,
+        synth_hk_pcm_udf,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_hk_pcm_udf(n_classes=100)
+    corpus = (
+        base.unionByName(copies)
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    pairs = hk_neardup(corpus, "doc_id", "bytes", max_ber=0.25)
+    return pairs.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q119_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 6 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM corpus a JOIN corpus b
+  ON a.doc_id < b.doc_id AND a.doc_id % 100 = b.doc_id % 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7231,6 +7276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_incremental_cc": q116_incremental_cc,
         "q117_channel_layout_dedup": q117_channel_layout_dedup,
         "q118_sql_surface_pairs": q118_sql_surface_pairs,
+        "q119_audio_hk_pairs": q119_audio_hk_pairs,
     }
 
 
@@ -7353,6 +7399,7 @@ def oracle_sql() -> dict[str, str]:
         "q116_incremental_cc": _Q116_SQL,
         "q117_channel_layout_dedup": _Q117_SQL,
         "q118_sql_surface_pairs": _Q118_SQL,
+        "q119_audio_hk_pairs": _Q119_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -163,7 +163,7 @@ def audit(sf_dir: str, only: list[str] | None) -> int:
         try:
             with open("docs/PLAN_AUDIT.md") as fh:
                 for ln in fh:
-                    if ln.startswith("| q"):
+                    if ln.startswith("| q") and not ln.startswith("| query |"):
                         prior = ln.rstrip("\n").split(" | ")[0].lstrip("| ")
                         table.setdefault(prior, ln.rstrip("\n"))
         except FileNotFoundError:
