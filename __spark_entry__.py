@@ -7110,9 +7110,12 @@ def q119_audio_hk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeded per-segment band-amplitude pattern) plus seeded noisy copies
     (~35 dB SNR) at doc_id + 1_000_000 for doc_id % 6 == 0; the id
     congruence mod 100 is the SQL ground truth.  Measured separation on
-    this family: intra-class BER <= 0.011, inter-class >= 0.44, so the
-    0.25 verify threshold recovers exactly the congruence pairs (recall
-    and precision both 1.0) — any missed/extra pair breaks the hash."""
+    this family (32-bit words, 33 bands — the 2002 paper's word width,
+    which also keeps cross-class word-value collisions out of the hot
+    cap at corpus scale): intra-class BER <= 0.013, inter-class >= 0.45,
+    so the 0.25 verify threshold recovers exactly the congruence pairs
+    (recall and precision both 1.0) — any missed/extra pair breaks the
+    hash."""
     from text_similarity_node_spark.operators.audio_hk import (
         hk_neardup,
         synth_hk_pcm_udf,
@@ -7135,6 +7138,53 @@ def q119_audio_hk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q119_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 6 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM corpus a JOIN corpus b
+  ON a.doc_id < b.doc_id AND a.doc_id % 100 = b.doc_id % 100
+"""
+
+
+def q120_audio_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-warp-robust audio near-dup pairs: banded-DTW verify over log
+    band-energy sequences with order-invariant HK-word candidates
+    (operators/audio_dtw.py) — the LOCAL-warp regime (repeated/dropped
+    phrase, variable-speed re-encode) that defeats every aligned tier:
+    the copies here read BER ~0.1-0.5 against their source (invisible
+    to q119's verify) yet DTW <= 0.0033 (measured; unrelated >= 0.076).
+    Corpus: q119's broadband class family (32-bit words), but copies
+    (doc_id + 1_000_000 for doc_id % 6 == 0) have one seeded segment
+    duplicated and another deleted before the ~35 dB jitter.
+    Congruence mod 100 is the SQL ground truth; threshold 0.015 sits
+    4.5x above the intra ceiling and 5x below the inter floor, so recall
+    and precision are both exactly 1.0 — any missed/extra pair breaks
+    the hash."""
+    from text_similarity_node_spark.operators.audio_dtw import (
+        dtw_neardup,
+        synth_warped_pcm_udf,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_warped_pcm_udf(n_classes=100)
+    corpus = (
+        base.unionByName(copies)
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    pairs = dtw_neardup(corpus, "doc_id", "bytes", max_dtw=0.015)
+    return pairs.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q120_SQL = """
 WITH corpus AS (
   SELECT doc_id FROM documents
   UNION ALL
@@ -7277,6 +7327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_channel_layout_dedup": q117_channel_layout_dedup,
         "q118_sql_surface_pairs": q118_sql_surface_pairs,
         "q119_audio_hk_pairs": q119_audio_hk_pairs,
+        "q120_audio_dtw_pairs": q120_audio_dtw_pairs,
     }
 
 
@@ -7400,6 +7451,7 @@ def oracle_sql() -> dict[str, str]:
         "q117_channel_layout_dedup": _Q117_SQL,
         "q118_sql_surface_pairs": _Q118_SQL,
         "q119_audio_hk_pairs": _Q119_SQL,
+        "q120_audio_dtw_pairs": _Q120_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -68,7 +68,7 @@ def hk_subfingerprints(
     sr_hz: float,
     frame_len: int = 512,
     hop: int = 512,
-    n_bands: int = 17,
+    n_bands: int = 33,
     fmin: float = 300.0,
     fmax: float = 6000.0,
 ) -> np.ndarray:
@@ -92,7 +92,7 @@ def hk_subfingerprints(
 def hk_fingerprint_udf(
     frame_len: int = 512,
     hop: int = 512,
-    n_bands: int = 17,
+    n_bands: int = 33,
     fmin: float = 300.0,
     fmax: float = 6000.0,
 ):
@@ -173,7 +173,7 @@ def hk_neardup(
     word_cap: int = 64,
     frame_len: int = 512,
     hop: int = 512,
-    n_bands: int = 17,
+    n_bands: int = 33,
     fmin: float = 300.0,
     fmax: float = 6000.0,
 ) -> DataFrame:
@@ -210,7 +210,7 @@ def synth_hk_pcm_udf(
     sr_hz: int = 16000,
     n_segs: int = 31,
     seg_len: int = 512,
-    n_bands: int = 17,
+    n_bands: int = 33,
     fmin: float = 300.0,
     fmax: float = 6000.0,
     jitter_amp: float = 0.002,
@@ -232,29 +232,18 @@ def synth_hk_pcm_udf(
     if 1_000_000 % n_classes != 0:
         raise ValueError("n_classes must divide 1_000_000 (congruence oracle)")
 
-    edges = np.linspace(fmin, fmax, n_bands + 1)
-    centers = (edges[:-1] + edges[1:]) / 2.0
-    n = n_segs * seg_len
-
-    def _class_amps(cls: int) -> np.ndarray:
-        seed = int.from_bytes(
-            hashlib.blake2b(f"hk|{cls}".encode(), digest_size=4).digest(), "little"
-        )
-        return np.random.RandomState(seed).uniform(0.2, 1.0, (n_segs, n_bands))
-
     @F.pandas_udf(T.BinaryType())
     def udf(doc_id: pd.Series) -> pd.Series:
-        t = np.arange(n) / float(sr_hz)
-        carriers = np.sin(2.0 * np.pi * centers[:, None] * t[None, :])
         out = []
         cache: dict[int, np.ndarray] = {}
+        n = n_segs * seg_len
         for d in doc_id:
             d = int(d)
             cls = d % n_classes
             if cls not in cache:
-                amps = _class_amps(cls)  # (n_segs, n_bands)
-                gains = np.repeat(amps, seg_len, axis=0).T  # (n_bands, n)
-                cache[cls] = (gains * carriers).sum(axis=0) / n_bands
+                cache[cls] = hk_class_signal(
+                    cls, sr_hz, n_segs, seg_len, n_bands, fmin, fmax
+                )
             x = cache[cls]
             if d >= 1_000_000:
                 x = x + jitter_amp * np.random.RandomState(d % 2**31).randn(n)
@@ -262,3 +251,34 @@ def synth_hk_pcm_udf(
         return pd.Series(out)
 
     return udf
+
+
+def hk_class_amps(cls: int, n_segs: int, n_bands: int) -> np.ndarray:
+    """Seeded per-class (n_segs, n_bands) continuous amplitude pattern."""
+    seed = int.from_bytes(
+        hashlib.blake2b(f"hk|{cls}".encode(), digest_size=4).digest(), "little"
+    )
+    return np.random.RandomState(seed).uniform(0.2, 1.0, (n_segs, n_bands))
+
+
+def hk_class_signal(
+    cls: int,
+    sr_hz: int = 16000,
+    n_segs: int = 31,
+    seg_len: int = 512,
+    n_bands: int = 33,
+    fmin: float = 300.0,
+    fmax: float = 6000.0,
+) -> np.ndarray:
+    """The deterministic broadband waveform for one class (float, |x|<~1):
+    band-center sines with the class's per-segment amplitude pattern.
+    Shared by the HK (q119) and DTW (q120) corpus synthesizers."""
+    edges = np.linspace(fmin, fmax, n_bands + 1)
+    centers = (edges[:-1] + edges[1:]) / 2.0
+    n = n_segs * seg_len
+    t = np.arange(n) / float(sr_hz)
+    carriers = np.sin(2.0 * np.pi * centers[:, None] * t[None, :])
+    gains = np.repeat(
+        hk_class_amps(cls, n_segs, n_bands), seg_len, axis=0
+    ).T
+    return (gains * carriers).sum(axis=0) / n_bands
