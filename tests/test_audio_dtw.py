@@ -88,3 +88,17 @@ def test_neardup_exact_on_planted_warped_corpus(spark):
         if a % 10 == b % 10
     }
     assert got == want  # recall and precision both exactly 1.0
+
+
+def test_batch_dtw_equals_scalar():
+    from text_similarity_node_spark.operators.audio_dtw import dtw_distance_batch
+
+    rng = np.random.RandomState(0)
+    A = rng.randn(20, 30, 33)
+    B = rng.randn(20, 28, 33)
+    got = dtw_distance_batch(A, B, radius=4)
+    want = [dtw_distance(A[i], B[i], radius=4) for i in range(20)]
+    assert np.allclose(got, want, atol=1e-12)
+    # same-length pairs and identical pairs
+    got2 = dtw_distance_batch(A, A, radius=4)
+    assert np.allclose(got2, 0.0, atol=1e-9)

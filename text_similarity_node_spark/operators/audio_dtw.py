@@ -144,18 +144,60 @@ def hk_words_and_feats_udf(
     return udf
 
 
+def dtw_distance_batch(A: np.ndarray, B: np.ndarray, radius: int = 4) -> np.ndarray:
+    """Vectorized DTW over a BATCH of same-shape pairs: A (m, n1, d),
+    B (m, n2, d) -> (m,) normalized distances.  Identical recurrence to
+    :func:`dtw_distance` (property-tested equal), but the DP wavefront
+    advances in lockstep across all m pairs — the Python-level loop is
+    n1 * band_width steps per batch instead of per pair (~600x fewer
+    interpreter iterations at 30-frame clips), everything else is one
+    einsum and elementwise minima."""
+    m, n1, _ = A.shape
+    n2 = B.shape[1]
+    if n1 == 0 or n2 == 0 or abs(n1 - n2) > radius:
+        return np.ones(m)
+    big = 1e18
+    an = A / (np.linalg.norm(A, axis=2, keepdims=True) + 1e-12)
+    bn = B / (np.linalg.norm(B, axis=2, keepdims=True) + 1e-12)
+    prev = np.full((m, n2 + 1), big)
+    prev[:, 0] = 0.0
+    for i in range(1, n1 + 1):
+        lo, hi = max(1, i - radius), min(n2, i + radius)
+        cost = 1.0 - np.einsum("md,mjd->mj", an[:, i - 1], bn[:, lo - 1 : hi])
+        cur = np.full((m, n2 + 1), big)
+        for k, j in enumerate(range(lo, hi + 1)):
+            cur[:, j] = cost[:, k] + np.minimum(
+                np.minimum(prev[:, j], prev[:, j - 1]), cur[:, j - 1]
+            )
+        prev = cur
+    return prev[:, n2] / (n1 + n2)
+
+
 def dtw_verify_udf(n_bands: int = 33, radius: int = 4):
-    """(feats1, n1, feats2, n2) -> normalized DTW distance (double)."""
+    """(feats1, n1, feats2, n2) -> normalized DTW distance (double).
+    Rows are grouped by (n1, n2) inside each Arrow batch and verified
+    through the lockstep batch DP (dtw_distance_batch)."""
 
     @F.pandas_udf(T.DoubleType())
     def udf(
         f1: pd.Series, n1: pd.Series, f2: pd.Series, n2: pd.Series
     ) -> pd.Series:
-        out = []
-        for a, na, b, nb in zip(f1, n1, f2, n2):
-            A = np.asarray(a, dtype=np.float64).reshape(int(na), n_bands)
-            B = np.asarray(b, dtype=np.float64).reshape(int(nb), n_bands)
-            out.append(dtw_distance(A, B, radius))
+        out = np.ones(len(f1))
+        shapes: dict[tuple[int, int], list[int]] = {}
+        for idx, (na, nb) in enumerate(zip(n1, n2)):
+            shapes.setdefault((int(na), int(nb)), []).append(idx)
+        for (na, nb), idxs in shapes.items():
+            if na == 0 or nb == 0:
+                continue  # stays 1.0 (empty input contract)
+            A = np.stack(
+                [np.asarray(f1.iloc[i], dtype=np.float64).reshape(na, n_bands)
+                 for i in idxs]
+            )
+            B = np.stack(
+                [np.asarray(f2.iloc[i], dtype=np.float64).reshape(nb, n_bands)
+                 for i in idxs]
+            )
+            out[idxs] = dtw_distance_batch(A, B, radius)
         return pd.Series(out)
 
     return udf
