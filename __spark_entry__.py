@@ -7196,6 +7196,70 @@ FROM corpus a JOIN corpus b
 """
 
 
+def q121_audio_pitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PITCH-SHIFT robustness tier (operators/audio_pitch.py) — the
+    transform axis no existing tier survives: a key change (frequency
+    x 2^(k/12), tempo unchanged) moves every landmark (q32/q51), flips
+    the HK sign bits (q119), and translates the band profile past the
+    one-band tolerance the +-3%% stretch tier (q101) absorbs.  In
+    semitone-spaced log bands the shift is an exact integer TRANSLATION,
+    so candidates come from a shift-invariant equi-join key (the
+    pairwise index differences of the top-3 energy bands — preserved by
+    any uniform translation) and the verify is the best-lag normalized
+    cross-correlation over lags in [-4, +4], pure JVM; the argmax lag
+    IS the planted key distance, which the query emits and the oracle
+    restates in closed form.  Corpus: 3-tone chord per doc at semitone
+    band centers, class = doc_id %% 200 with a UNIQUE top-3 difference
+    pattern per class (no two classes are transpositions, so neither
+    stage can cross-match); copies at doc_id + 1_000_000 for
+    doc_id %% 6 == 0, shifted by k = ((d/6) %% 9) - 4 semitones with
+    seeded phase offsets and ~38 dB noise.  Congruence mod 200 is the
+    pair ground truth AND the shift column is checked bit-exactly:
+    recall, precision, and shift recovery must all be perfect for the
+    hash to match (measured: intra best-lag ncc 1.0, wrong-lag/inter
+    <= 0.52)."""
+    from text_similarity_node_spark.operators.audio_pitch import (
+        audio_pitch_pairs,
+        synth_pitch_pcm_udf,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_pitch_pcm_udf(n_classes=200)
+    corpus = (
+        base.unionByName(copies)
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    pairs = audio_pitch_pairs(corpus, "doc_id", "bytes", threshold=0.9)
+    return pairs.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        F.col("shift_semitones").cast("int").alias("shift_semitones"),
+    )
+
+
+_Q121_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 6 = 0
+), keyed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id >= 1000000
+              THEN ((doc_id - 1000000) // 6) % 9 - 4
+              ELSE 0 END AS k
+  FROM corpus
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       (b.k - a.k)::INT AS shift_semitones
+FROM keyed a JOIN keyed b
+  ON a.doc_id < b.doc_id AND a.doc_id % 200 = b.doc_id % 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7328,6 +7392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_sql_surface_pairs": q118_sql_surface_pairs,
         "q119_audio_hk_pairs": q119_audio_hk_pairs,
         "q120_audio_dtw_pairs": q120_audio_dtw_pairs,
+        "q121_audio_pitch_pairs": q121_audio_pitch_pairs,
     }
 
 
@@ -7452,6 +7517,7 @@ def oracle_sql() -> dict[str, str]:
         "q118_sql_surface_pairs": _Q118_SQL,
         "q119_audio_hk_pairs": _Q119_SQL,
         "q120_audio_dtw_pairs": _Q120_SQL,
+        "q121_audio_pitch_pairs": _Q121_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
