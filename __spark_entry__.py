@@ -7260,6 +7260,83 @@ FROM keyed a JOIN keyed b
 """
 
 
+def q122_audio_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIERED AUDIO dedup cascade (operators/audio_cascade.py) — the
+    waveform analog of q49's namesake text cascade, composing the whole
+    audio robustness family with per-clip TIER ATTRIBUTION: tier 1 exact
+    (md5 star pairs) -> tier 2 landmark candidates + BEST-GAIN SNR
+    verify (catches volume-rescaled re-encodes; rejects warps — no
+    scalar gain aligns permuted envelopes, measured 36.7 vs 0.5 dB) ->
+    tier 3 semitone spike-mask words + banded-DTW verify (catches
+    locally warped copies, measured dtw 0.091 vs 0.217 cross-class,
+    which never even reaches the verify: 0 shared words) -> tier 4
+    shift-invariant key + best-lag NCC (catches key changes, the
+    transform every earlier tier is measured blind to: 0 shared
+    landmarks/words).  Each tier sees only the residual of the previous
+    ones — the cascade ordering is the 10^12-row scale story (cheap
+    passes shrink expensive passes' input), and every candidate stage is
+    the already-audited capped equi-join of its operator.
+
+    Corpus: base clips are class-keyed segmented chords (class = doc_id
+    %% 200; same-class base rows byte-identical, so base congruence
+    lands at the exact tier); ONE copy per class at src < 200,
+    src %% 4 == 0, with transform (src//4) %% 4 in {exact, gain, warp,
+    pitch} — one copy per class by design, because two same-transform
+    copies of one class would legitimately claim each other at an
+    earlier tier than their keeper and attribution would stop being
+    closed-form.  Oracle: keeper = min base id per class; removed = all
+    non-keeper bases at tier 1 plus every copy at its transform's tier."""
+    from text_similarity_node_spark.operators.audio_cascade import (
+        audio_dedup_cascade,
+        default_audio_tiers,
+        synth_cascade_pcm_udf,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 4 == 0)
+    ).select((F.col("doc_id") + 1_000_000).alias("doc_id"))
+    synth = synth_cascade_pcm_udf(n_classes=200)
+    corpus = (
+        base.unionByName(copies)
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn("sr_hz", F.lit(16000))
+        .persist()
+    )
+    res = audio_dedup_cascade(corpus, "doc_id", default_audio_tiers())
+    return res.select(
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("kept_id").cast("long").alias("kept_id"),
+        "tier",
+        "tier_name",
+    )
+
+
+_Q122_SQL = """
+WITH base AS (SELECT doc_id FROM documents),
+canon AS (
+  SELECT doc_id % 200 AS cls, MIN(doc_id) AS keeper
+  FROM base GROUP BY 1
+),
+removed AS (
+  SELECT doc_id AS clip_id, doc_id % 200 AS cls, 1 AS tier
+  FROM base
+  UNION ALL
+  SELECT doc_id + 1000000, doc_id % 200,
+         CASE (doc_id // 4) % 4
+           WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 4 END
+  FROM base WHERE doc_id < 200 AND doc_id % 4 = 0
+)
+SELECT r.clip_id::BIGINT AS clip_id,
+       c.keeper::BIGINT AS kept_id,
+       r.tier::INT AS tier,
+       CASE r.tier WHEN 1 THEN 'exact' WHEN 2 THEN 'landmark'
+            WHEN 3 THEN 'dtw' ELSE 'pitch' END AS tier_name
+FROM removed r JOIN canon c ON r.cls = c.cls
+WHERE r.clip_id != c.keeper
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7393,6 +7470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_audio_hk_pairs": q119_audio_hk_pairs,
         "q120_audio_dtw_pairs": q120_audio_dtw_pairs,
         "q121_audio_pitch_pairs": q121_audio_pitch_pairs,
+        "q122_audio_dedup_cascade": q122_audio_dedup_cascade,
     }
 
 
@@ -7518,6 +7596,7 @@ def oracle_sql() -> dict[str, str]:
         "q119_audio_hk_pairs": _Q119_SQL,
         "q120_audio_dtw_pairs": _Q120_SQL,
         "q121_audio_pitch_pairs": _Q121_SQL,
+        "q122_audio_dedup_cascade": _Q122_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

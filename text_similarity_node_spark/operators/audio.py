@@ -116,6 +116,34 @@ def pairwise_snr_udf(ref_bytes: pd.Series, test_bytes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.DoubleType())
+def pairwise_snr_bestgain_udf(ref_bytes: pd.Series, test_bytes: pd.Series) -> pd.Series:
+    """SNR (dB) of test vs ref after fitting the OPTIMAL scalar gain
+    g* = <ref, test> / <test, test> — the gain-invariant fidelity
+    verifier: a volume-rescaled re-encode of the same recording reads
+    near-lossless here (residual = rounding/noise only), while a
+    time-warped or unrelated waveform stays low because no single gain
+    can align mismatched envelopes.  Same alignment contract as
+    ``pairwise_snr_udf`` (leading-sample comparison, truncated to the
+    shorter payload)."""
+    out = np.empty(len(ref_bytes), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(ref_bytes, test_bytes)):
+        if a is None or b is None:
+            out[i] = np.nan
+            continue
+        x = decode_pcm_s16le(a)
+        y = decode_pcm_s16le(b)
+        n = min(len(x), len(y))
+        if n == 0:
+            out[i] = float("-inf")
+            continue
+        x, y = x[:n], y[:n]
+        denom = float(np.dot(y, y))
+        g = float(np.dot(x, y)) / denom if denom > 0.0 else 0.0
+        out[i] = snr_db(x, g * y)
+    return pd.Series(out)
+
+
 def frame_sample_udf(frame_ms: int = 25, hop_ms: int = 10):
     """payload, sr_hz -> array of frame RMS values (feature extraction
     plumbing: schema array<double>, deterministic, Arrow-batched)."""
