@@ -7337,6 +7337,58 @@ WHERE r.clip_id != c.keeper
 """
 
 
+def q123_warped_snippet_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warped-snippet retrieval via SUBSEQUENCE DTW
+    (operators/audio_subseq.py) — the elastic generalization of q96's
+    rigid snippet containment: the query is an 8-segment excerpt of a
+    catalog melody that has been locally TEMPO-WARPED (one beat
+    repeated, another dropped), so no single offset aligns it and the
+    landmark offset-histogram vote collapses; subsequence DTW (Mueller's
+    music-retrieval construction — slide the banded DP over every
+    admissible start on the catalog axis, take the argmin start) both
+    retrieves the parent and recovers WHERE the excerpt begins.
+    Candidates: note-TRIGRAM word equi-join (packed argmax-band indices
+    of 3 consecutive segments; 3 consecutive source segments survive any
+    single dup+drop edit), hot words capped with metrics.  Verify:
+    sliding banded DTW over mean-centered semitone log energies,
+    lockstep-batched.  Margins measured over the FULL sf0.1 population
+    (500 snippets): argmin start == planted start on every snippet,
+    worst true cost 0.1687 vs wrong-clip >= 0.1988 — threshold 0.19.
+    Oracle: parent and start are closed forms of the snippet id."""
+    from text_similarity_node_spark.operators.audio_subseq import (
+        subseq_dtw_retrieve,
+        synth_subseq_pcm_udf,
+    )
+
+    synth = synth_subseq_pcm_udf()
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    catalog = (
+        base.select(F.col("doc_id").alias("clip_id"))
+        .withColumn("bytes", synth(F.col("clip_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    snippets = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("clip_id"))
+        .withColumn("bytes", synth(F.col("clip_id")))
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    res = subseq_dtw_retrieve(snippets, catalog)
+    return res.select(
+        F.col("snippet_id").cast("long").alias("snippet_id"),
+        F.col("clip_id").cast("long").alias("clip_id"),
+        F.col("start_seg").cast("int").alias("start_seg"),
+    )
+
+
+_Q123_SQL = """
+SELECT (doc_id + 1000000)::BIGINT AS snippet_id,
+       doc_id::BIGINT AS clip_id,
+       ((doc_id // 10) % 9)::INT AS start_seg
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7471,6 +7523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_audio_dtw_pairs": q120_audio_dtw_pairs,
         "q121_audio_pitch_pairs": q121_audio_pitch_pairs,
         "q122_audio_dedup_cascade": q122_audio_dedup_cascade,
+        "q123_warped_snippet_retrieval": q123_warped_snippet_retrieval,
     }
 
 
@@ -7597,6 +7650,7 @@ def oracle_sql() -> dict[str, str]:
         "q120_audio_dtw_pairs": _Q120_SQL,
         "q121_audio_pitch_pairs": _Q121_SQL,
         "q122_audio_dedup_cascade": _Q122_SQL,
+        "q123_warped_snippet_retrieval": _Q123_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and
