@@ -1,0 +1,137 @@
+"""Streaming tiered audio cascade: per-clip tier attribution equal to the
+one-shot batch cascade under id-ordered micro-batch slicing, cross-batch
+matches at every tier through the per-tier stores, and the arrival-order
+contract metric."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_similarity_node_spark.operators.audio_cascade import (
+    audio_dedup_cascade,
+    default_audio_tiers,
+    synth_cascade_pcm_udf,
+)
+from text_similarity_node_spark.streaming.cascade import IncrementalAudioCascade
+
+SCHEMA = "clip_id long, bytes binary, sr_hz int"
+SR = 16000
+
+
+@pytest.fixture()
+def dirs():
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "incoming")
+        state = os.path.join(d, "state")
+        ckpt = os.path.join(d, "ckpt")
+        os.makedirs(src)
+        yield src, state, ckpt
+
+
+def _corpus(spark, n_docs=48):
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    copies = base.filter(
+        (F.col("doc_id") < 200) & (F.col("doc_id") % 4 == 0)
+    ).select((F.col("doc_id") + 1_000_000).alias("doc_id"))
+    synth = synth_cascade_pcm_udf(n_classes=200)
+    return (
+        base.unionByName(copies)
+        .select(F.col("doc_id").alias("clip_id"))
+        .withColumn("bytes", synth(F.col("clip_id")))
+        .withColumn("sr_hz", F.lit(SR))
+        .persist()
+    )
+
+
+def test_streaming_cascade_equals_batch(spark, dirs):
+    """Three id-ordered arrival files (originals, then copies in two
+    waves) -> the union of per-batch attributions equals the one-shot
+    cascade: every copy lands at the same tier with the same keeper,
+    found ACROSS batches through the per-tier stores."""
+    src, state, ckpt = dirs
+    corpus = _corpus(spark, n_docs=48)
+
+    batch_out = {
+        (r.clip_id, r.kept_id, r.tier, r.tier_name)
+        for r in audio_dedup_cascade(
+            corpus.withColumnRenamed("clip_id", "doc_id"),
+            "doc_id",
+            default_audio_tiers(id_col="doc_id"),
+        ).collect()
+    }
+    # all four tiers must actually be represented in the ground truth
+    assert {t for _, _, t, _ in batch_out} == {1, 2, 3, 4}
+
+    slices = [
+        corpus.filter(F.col("clip_id") < 1_000_000),
+        corpus.filter(
+            (F.col("clip_id") >= 1_000_000) & (F.col("clip_id") % 8 == 0)
+        ),
+        corpus.filter(
+            (F.col("clip_id") >= 1_000_000) & (F.col("clip_id") % 8 != 0)
+        ),
+    ]
+    for i, df in enumerate(slices):
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{i}")
+        )
+
+    sink = IncrementalAudioCascade(spark, state)
+    q = sink.start(src + "/*", SCHEMA, ckpt)
+    q.awaitTermination(600)
+
+    stream_out = {
+        (r.clip_id, r.kept_id, r.tier, r.tier_name)
+        for r in sink.attributions().collect()
+    }
+    assert stream_out == batch_out
+    # no arrival-order violations on an id-ordered stream
+    hot = sink.hot_keys()
+    assert hot.filter(F.col("tier_name") == "arrival_contract").count() == 0
+
+
+def test_streaming_cascade_stores_hold_survivors_only(spark, dirs):
+    """State grows with KEPT clips only: a clip attributed at tier i is
+    absent from every store, so later batches never match against it."""
+    src, state, ckpt = dirs
+    corpus = _corpus(spark, n_docs=24)
+    corpus.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "b0")
+    )
+    sink = IncrementalAudioCascade(spark, state)
+    q = sink.start(src + "/*", SCHEMA, ckpt)
+    q.awaitTermination(600)
+
+    removed = {r.clip_id for r in sink.attributions().collect()}
+    assert removed  # something was attributed
+    for store in ("md5_store", "marks_store", "words_store",
+                  "feats_store", "prof_store", "clips_store"):
+        ids = {
+            r.clip_id
+            for r in spark.read.parquet(os.path.join(state, store))
+            .select("clip_id").distinct().collect()
+        }
+        assert not (ids & removed), store
+
+
+def test_streaming_cascade_replay_idempotent(spark, dirs):
+    """Re-processing a batch (crash-replay) overwrites its batch-keyed
+    attribution dir rather than doubling rows."""
+    src, state, ckpt = dirs
+    corpus = _corpus(spark, n_docs=16)
+    sink = IncrementalAudioCascade(spark, state)
+    rows = corpus.collect()
+    df = spark.createDataFrame(rows, corpus.schema)
+    sink.process_batch(df, 0)
+    first = sorted(
+        (r.clip_id, r.kept_id, r.tier) for r in sink.attributions().collect()
+    )
+    sink.process_batch(df, 0)  # replay
+    second = sorted(
+        (r.clip_id, r.kept_id, r.tier) for r in sink.attributions().collect()
+    )
+    assert first == second
