@@ -95,3 +95,26 @@ def test_wrong_clip_rejected_by_threshold(spark):
     snippets = _frames(spark, [p + 1_000_000 for p in parents])
     got = subseq_dtw_retrieve(snippets, catalog).collect()
     assert got == []
+
+
+def test_subseq_degenerates_to_plain_dtw(spark):
+    """When the catalog side is exactly snippet-sized there is one
+    admissible start: the sliding verify must equal the core
+    dtw_distance (the property-tested DP) at start 0."""
+    from text_similarity_node_spark.operators.audio_dtw import dtw_distance
+    from text_similarity_node_spark.operators.audio_subseq import (
+        subseq_dtw_verify_udf,
+    )
+
+    rs = np.random.RandomState(5)
+    a = rs.randn(8, 32)
+    b = rs.randn(8, 32)
+    df = spark.createDataFrame(
+        [(a.ravel().tolist(), 8, b.ravel().tolist(), 8)],
+        ["sf", "sn", "cf", "cn"],
+    )
+    v = df.select(
+        subseq_dtw_verify_udf(radius=2)("sf", "sn", "cf", "cn").alias("v")
+    ).collect()[0].v
+    assert v.start == 0
+    assert v.cost == pytest.approx(dtw_distance(a, b, radius=2), rel=1e-12)

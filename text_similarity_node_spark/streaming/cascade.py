@@ -34,7 +34,13 @@ later tiers):
 ARRIVAL-ORDER CONTRACT: attribution uses the batch cascade's min-id
 keeper rule, so streaming output equals the one-shot cascade when clips
 arrive in nondecreasing id order (the ingest contract; asserted in
-tests/test_streaming_cascade.py).  A candidate pair whose HISTORY side
+tests/test_streaming_cascade.py).
+
+REPLAY: attribution/hot outputs are batch-id-keyed and overwritten; the
+feature stores are append-mode, so a crash-replayed batch doubles their
+rows — every consumer is duplicate-tolerant by construction (md5 history
+deduped, candidate pairs pass through distinct(), removal sets through a
+groupBy), asserted by the replay test.  A candidate pair whose HISTORY side
 has the LARGER id would require retroactively removing an
 already-attributed keeper; such pairs are dropped WITH a metric column
 in the batch ledger, never silently.
