@@ -7389,6 +7389,88 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+def q124_audio_echo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECHO robustness tier — the CONVOLUTIVE channel axis none of the
+    other transforms cover (q51 shift, q52 rate, q71 gain, q101 stretch,
+    q112 polarity, q117 layout, q120 warp, q121 pitch are all either
+    alignment or frequency transforms): copies pass through a 2-tap
+    room-reflection channel y = (x + 0.45*x[.-523])/1.45
+    (operators/audio.echo_pcm_udf), which defeats the plain AND the
+    best-gain SNR verifies (measured < 15 dB aligned) while leaving
+    every spectral peak in place (|H| >= 0.55, no tone nulled), so
+    landmark candidates survive unchanged.  Verify = CHANNEL-EQUALIZED
+    SNR (audio.echofit_snr): closed-form least-squares 2-tap fit at
+    every candidate delay from FFT correlation sequences; only the true
+    delay can reproduce 3 per-tone complex gains with 2 real taps
+    (argmax-crosscorr picks wrong lags on quasi-periodic content —
+    measured 7.2 dB vs 83.8 dB full search), and a pair that is not a
+    2-tap rendition keeps its unshared tone as irreducible residual
+    (cross-class <= 9.5 dB, threshold 25).  Corpus: q121's stationary
+    chords (synth_pitch_pcm_udf base branch; copies at +500_000, below
+    the synth's 1M pitch threshold, echoed after synthesis); same-class
+    bases are byte-identical, so ground truth is PURE CONGRUENCE mod 200
+    over the corpus — the closed-form oracle."""
+    from text_similarity_node_spark.operators.audio import (
+        echo_pcm_udf,
+        pairwise_snr_echofit_udf,
+    )
+    from text_similarity_node_spark.operators.audio_fp import (
+        audio_fingerprint_pairs,
+    )
+    from text_similarity_node_spark.operators.audio_pitch import (
+        synth_pitch_pcm_udf,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    synth = synth_pitch_pcm_udf(n_classes=200)
+    corpus = (
+        base.unionByName(
+            base.filter(F.col("doc_id") % 6 == 0).select(
+                (F.col("doc_id") + 500_000).alias("doc_id")
+            )
+        )
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn(
+            "bytes",
+            F.when(
+                F.col("doc_id") >= 500_000, echo_pcm_udf()(F.col("bytes"))
+            ).otherwise(F.col("bytes")),
+        )
+        .withColumn("sr_hz", F.lit(16000))
+        .persist()
+    )
+    cand = audio_fingerprint_pairs(
+        corpus, "doc_id", "bytes", min_matches=2,
+        frame_len=4096, hop=2048, peaks_per_frame=3, fanout=2,
+        freq_quant_hz=1.0,
+    )
+    b1 = corpus.select(F.col("doc_id").alias("id1"), F.col("bytes").alias("_b1"))
+    b2 = corpus.select(F.col("doc_id").alias("id2"), F.col("bytes").alias("_b2"))
+    verified = (
+        cand.join(b1, "id1")
+        .join(b2, "id2")
+        .withColumn(
+            "snr_db", pairwise_snr_echofit_udf()(F.col("_b1"), F.col("_b2"))
+        )
+        .filter(F.col("snr_db") >= 25.0)
+    )
+    return verified.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q124_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 FROM documents WHERE doc_id % 6 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM corpus a JOIN corpus b
+  ON a.doc_id < b.doc_id AND a.doc_id % 200 = b.doc_id % 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7524,6 +7606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_audio_pitch_pairs": q121_audio_pitch_pairs,
         "q122_audio_dedup_cascade": q122_audio_dedup_cascade,
         "q123_warped_snippet_retrieval": q123_warped_snippet_retrieval,
+        "q124_audio_echo_pairs": q124_audio_echo_pairs,
     }
 
 
@@ -7651,6 +7734,7 @@ def oracle_sql() -> dict[str, str]:
         "q121_audio_pitch_pairs": _Q121_SQL,
         "q122_audio_dedup_cascade": _Q122_SQL,
         "q123_warped_snippet_retrieval": _Q123_SQL,
+        "q124_audio_echo_pairs": _Q124_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -928,3 +928,93 @@ def mono_to_stereo_pcm_udf(payload: pd.Series) -> pd.Series:
         st[1::2] = x
         out.append(st.tobytes())
     return pd.Series(out)
+
+def echo_pcm_udf(gain: float = 0.45, delay: int = 523):
+    """Apply a single-reflection ECHO to pcm_s16le: y = (x + gain *
+    x[. - delay]) / (1 + gain), re-quantized — the 2-tap convolutive
+    channel (room reflection / mix-bus send) that defeats every
+    waveform-aligned verify while leaving spectral peaks in place:
+    |H(f)| = |1 + gain*e^{-i w delay}| stays within [1-gain, 1+gain], so
+    with gain < 1 no tone is nulled and landmark candidates survive."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(payload: pd.Series) -> pd.Series:
+        out = []
+        for p in payload:
+            if p is None:
+                out.append(None)
+                continue
+            x = np.frombuffer(p, dtype="<i2").astype(np.float64)
+            y = x.copy()
+            if len(x) > delay:
+                y[delay:] += gain * x[:-delay]
+            y = y / (1.0 + gain)
+            y = np.clip(np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)),
+                        -32768, 32767)
+            out.append(y.astype("<i2").tobytes())
+        return pd.Series(out)
+
+    return udf
+
+
+def echofit_snr(x: np.ndarray, y: np.ndarray, max_delay: int = 800):
+    """Channel-equalized SNR: fit the best 2-tap filter y ~ g0*x +
+    g1*x[. - d] over EVERY candidate delay d in [1, max_delay] (closed-
+    form least squares per d from FFT correlation sequences — O(n log n)
+    total, no per-d recomputation) and return (snr_db, best_delay).
+
+    Why full search instead of a cross-correlation argmax: on tonal /
+    quasi-periodic content the cross-correlation has near-equal peaks at
+    many lags, and a wrong lag cannot fit a 3-tone channel (2 real taps
+    + the delay must reproduce 3 complex per-tone gains — solvable only
+    at the true delay), measured 7.2 dB argmax-picked vs 83.8 dB full
+    search on the q124 fixture.  A pair that is NOT a 2-tap-channel
+    rendition cannot fake this: a tone present in y but absent from x
+    survives every fit as residual (cross-class pairs measured
+    <= 9.5 dB)."""
+    n = min(len(x), len(y))
+    if n == 0 or max_delay < 1 or n <= max_delay:
+        return float("-inf"), 0
+    x, y = x[:n], y[:n]
+    m = 2 * n
+    X = np.fft.rfft(x, m)
+    Y = np.fft.rfft(y, m)
+    cxy = np.fft.irfft(Y * np.conj(X), m)[: max_delay + 1]
+    axx = np.fft.irfft(X * np.conj(X), m)[: max_delay + 1]
+    cum = np.cumsum(x**2)
+    exx = float(cum[-1])
+    ds = np.arange(1, max_delay + 1)
+    exd = cum[n - 1 - ds]  # energy of x[:-d]
+    a12 = axx[1:]
+    b1 = cxy[0]
+    b2 = cxy[1:]
+    det = exx * exd - a12 * a12
+    det = np.where(np.abs(det) < 1e-18, 1e-18, det)
+    g0 = (b1 * exd - b2 * a12) / det
+    g1 = (b2 * exx - b1 * a12) / det
+    yy = float(y @ y)
+    resid = np.maximum(yy - (g0 * b1 + g1 * b2), 1e-18)
+    best = int(np.argmin(resid))
+    if yy == 0.0:
+        return float("-inf"), 0
+    return 10.0 * np.log10(yy / resid[best]), int(ds[best])
+
+
+def pairwise_snr_echofit_udf(max_delay: int = 800):
+    """(ref_bytes, test_bytes) -> channel-equalized SNR (dB): the
+    echo-invariant generalization of ``pairwise_snr_bestgain_udf``
+    (a 1-tap channel is the g1=0 special case)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def udf(ref_bytes: pd.Series, test_bytes: pd.Series) -> pd.Series:
+        out = np.empty(len(ref_bytes), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(ref_bytes, test_bytes)):
+            if a is None or b is None:
+                out[i] = np.nan
+                continue
+            out[i] = echofit_snr(
+                decode_pcm_s16le(a), decode_pcm_s16le(b), max_delay
+            )[0]
+        return pd.Series(out)
+
+    return udf
