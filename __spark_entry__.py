@@ -7449,6 +7449,10 @@ def q124_audio_echo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cand.join(b1, "id1")
         .join(b2, "id2")
+        # cluster the ref side so the verify UDF's per-payload memo
+        # (forward FFT + autocorr state reused across a clip's ~300
+        # congruence pairs) actually hits: local sort, no exchange
+        .sortWithinPartitions("id1")
         .withColumn(
             "snr_db", pairwise_snr_echofit_udf()(F.col("_b1"), F.col("_b2"))
         )

@@ -90,3 +90,27 @@ def test_echofit_udf_separates(spark):
         ).collect()
     ]
     assert snrs[0] > 40.0 and snrs[1] < 12.0
+
+
+def test_echofit_udf_batch_matches_scalar(spark):
+    """The batch-vectorized UDF (unique-payload FFT reuse, stacked
+    inverse FFTs) must agree with the scalar echofit_snr per pair."""
+    pb = lambda v: np.clip(v * 32767, -32768, 32767).astype("<i2").tobytes()  # noqa: E731
+    clips = {c: _chord(c) for c in (0, 1, 56, 57)}
+    rows = []
+    want = []
+    for a in (0, 1, 56):
+        for b in (1, 56, 57):
+            pair = (pb(clips[a]), pb(_echo(clips[b]) if b == a + 1 else clips[b]))
+            rows.append(pair)
+            x = np.frombuffer(pair[0], dtype="<i2").astype(np.float64) / 32768.0
+            y = np.frombuffer(pair[1], dtype="<i2").astype(np.float64) / 32768.0
+            want.append(echofit_snr(x, y)[0])
+    df = spark.createDataFrame(rows, ["a", "b"]).coalesce(1)
+    got = [
+        r.s
+        for r in df.select(
+            pairwise_snr_echofit_udf()(F.col("a"), F.col("b")).alias("s")
+        ).collect()
+    ]
+    assert got == pytest.approx(want, rel=1e-9)

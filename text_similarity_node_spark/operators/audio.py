@@ -1003,18 +1003,62 @@ def echofit_snr(x: np.ndarray, y: np.ndarray, max_delay: int = 800):
 def pairwise_snr_echofit_udf(max_delay: int = 800):
     """(ref_bytes, test_bytes) -> channel-equalized SNR (dB): the
     echo-invariant generalization of ``pairwise_snr_bestgain_udf``
-    (a 1-tap channel is the g1=0 special case)."""
+    (a 1-tap channel is the g1=0 special case).
+
+    Per-batch MEMOIZATION of the ref-side state: in a verify batch a
+    clip appears in many candidate pairs (a 25-member congruence class
+    contributes ~300 pairs per clip at sf0.1), and the ref side of the
+    2-tap fit needs its forward FFT, autocorrelation, and energy
+    prefix-slice only once — cached per distinct payload, bounded (the
+    cache resets at 512 entries; ~0.3 MB per entry).  A fully stacked
+    batch variant was measured SLOWER end-to-end (the (uniques x 2n)
+    complex matrices ran to GBs per worker and alloc churn ate the FFT
+    savings), so only the re-usable per-clip state is cached and the
+    per-pair cross-correlation stays a single irfft.  Numerically
+    identical to :func:`echofit_snr` per pair (asserted in tests)."""
 
     @F.pandas_udf(T.DoubleType())
     def udf(ref_bytes: pd.Series, test_bytes: pd.Series) -> pd.Series:
-        out = np.empty(len(ref_bytes), dtype=np.float64)
+        out = np.full(len(ref_bytes), np.nan)
+        cache: dict[tuple[bytes, int], tuple] = {}
         for i, (a, b) in enumerate(zip(ref_bytes, test_bytes)):
             if a is None or b is None:
-                out[i] = np.nan
                 continue
-            out[i] = echofit_snr(
-                decode_pcm_s16le(a), decode_pcm_s16le(b), max_delay
-            )[0]
+            n = min(len(a), len(b)) // 2
+            if n == 0 or n <= max_delay:
+                out[i] = float("-inf")
+                continue
+            m = 2 * n
+            key = (a, n)
+            st = cache.get(key)
+            if st is None:
+                if len(cache) >= 512:
+                    cache.clear()
+                x = decode_pcm_s16le(a)[:n]
+                X = np.fft.rfft(x, m)
+                axx = np.fft.irfft(X * np.conj(X), m)[1 : max_delay + 1]
+                cum = np.cumsum(x**2)
+                exx = float(cum[-1])
+                ds = np.arange(1, max_delay + 1)
+                exd = cum[n - 1 - ds]
+                st = (X, axx, exx, exd)
+                cache[key] = st
+            X, axx, exx, exd = st
+            y = decode_pcm_s16le(b)[:n]
+            Y = np.fft.rfft(y, m)
+            cxy = np.fft.irfft(Y * np.conj(X), m)[: max_delay + 1]
+            b1 = cxy[0]
+            b2 = cxy[1:]
+            det = exx * exd - axx * axx
+            det = np.where(np.abs(det) < 1e-18, 1e-18, det)
+            g0 = (b1 * exd - b2 * axx) / det
+            g1 = (b2 * exx - b1 * axx) / det
+            yy = float(y @ y)
+            resid = np.maximum(yy - (g0 * b1 + g1 * b2), 1e-18)
+            best = float(resid.min())
+            out[i] = (
+                10.0 * np.log10(yy / best) if yy > 0.0 else float("-inf")
+            )
         return pd.Series(out)
 
     return udf
