@@ -236,12 +236,19 @@ class IncrementalAudioCascade:
         w = Window.partitionBy("h")
         in_batch = md5_new.withColumn("bmin", F.min("clip_id").over(w))
         if hist_md5 is not None:
-            # one keeper per content hash by construction; dropDuplicates
-            # guards against store rows doubled by a crash-replayed append
-            hmatch = hist_md5.select(
-                "h", F.col("clip_id").alias("hid")
-            ).dropDuplicates(["h", "hid"])
-            joined = in_batch.join(hmatch, "h", "left")
+            # flat-per-batch-cost contract: the history store STREAMS
+            # through an inner probe against the BROADCAST batch (a
+            # plain left join here would shuffle the whole history md5
+            # store every micro-batch); the hit set is batch-sized, so
+            # the subsequent left join is batch-vs-batch.  One keeper
+            # per content hash by construction; dropDuplicates guards
+            # against store rows doubled by a crash-replayed append.
+            hist_hit = (
+                hist_md5.select("h", F.col("clip_id").alias("hid"))
+                .join(F.broadcast(md5_new.select("h").distinct()), "h")
+                .dropDuplicates(["h", "hid"])
+            )
+            joined = in_batch.join(F.broadcast(hist_hit), "h", "left")
         else:
             joined = in_batch.withColumn("hid", F.lit(None).cast("long"))
         exact_removed = (
@@ -345,9 +352,13 @@ class IncrementalAudioCascade:
         feats_all = f3_new.select("clip_id", "feats", "n_frames")
         hist_feats = self._read(self.feats_path)
         if hist_feats is not None:
+            # candidate ids are batch-bounded: broadcast them so the
+            # feats store streams through the semi-probe unshuffled
             feats_all = feats_all.unionByName(
                 hist_feats.join(
-                    cand3.select(F.col("id1").alias("clip_id")).distinct(),
+                    F.broadcast(
+                        cand3.select(F.col("id1").alias("clip_id")).distinct()
+                    ),
                     "clip_id",
                     "left_semi",
                 )
@@ -403,7 +414,9 @@ class IncrementalAudioCascade:
         if hist_prof is not None:
             prof_all = prof_all.unionByName(
                 hist_prof.select("clip_id", "profile").join(
-                    cand4.select(F.col("id1").alias("clip_id")).distinct(),
+                    F.broadcast(
+                        cand4.select(F.col("id1").alias("clip_id")).distinct()
+                    ),
                     "clip_id",
                     "left_semi",
                 )
