@@ -7475,6 +7475,87 @@ FROM corpus a JOIN corpus b
 """
 
 
+def q125_audio_reencode_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE re-encode robustness — transform CLOSURE of the
+    channel-fit verify: copies here are gain-scaled AND time-shifted AND
+    dithered in one pass (audio.reencode_pcm_udf — the realistic
+    volume-normalize + head-trim re-upload), a composition no single-
+    transform tier's verify was built for: plain SNR fails on the gain,
+    best-gain SNR fails on the shift, and the offset-voting tier never
+    verifies amplitude fidelity.  The q124 channel-equalized fit
+    absorbs the composition FOR FREE: a pure shift-by-s gain-g copy is
+    the 2-tap channel with g0 -> 0 and the g1 tap at lag s, inside the
+    same closed-form per-delay LS search — measured >= 39.7 dB across
+    classes x shifts 137..777 with exact lag recovery, vs <= 8.6 dB
+    cross-class (the unshared-tone bound), threshold 25.  Candidates:
+    landmark constellations, invariant to both gain (relative peaks)
+    and shift (relative dt) — 21/21 hashes shared, measured.  Corpus:
+    q121's stationary chords; copies at doc_id + 500_000 for
+    doc_id %% 7 == 0; ground truth = congruence mod 200 (same-class
+    bases byte-identical, so every congruent pair must verify)."""
+    from text_similarity_node_spark.operators.audio import (
+        pairwise_snr_echofit_udf,
+        reencode_pcm_udf,
+    )
+    from text_similarity_node_spark.operators.audio_fp import (
+        audio_fingerprint_pairs,
+    )
+    from text_similarity_node_spark.operators.audio_pitch import (
+        synth_pitch_pcm_udf,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    synth = synth_pitch_pcm_udf(n_classes=200)
+    corpus = (
+        base.unionByName(
+            base.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 500_000).alias("doc_id")
+            )
+        )
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn(
+            "bytes",
+            F.when(
+                F.col("doc_id") >= 500_000,
+                reencode_pcm_udf()(F.col("bytes")),
+            ).otherwise(F.col("bytes")),
+        )
+        .withColumn("sr_hz", F.lit(16000))
+        .persist()
+    )
+    cand = audio_fingerprint_pairs(
+        corpus, "doc_id", "bytes", min_matches=2,
+        frame_len=4096, hop=2048, peaks_per_frame=3, fanout=2,
+        freq_quant_hz=1.0,
+    )
+    b1 = corpus.select(F.col("doc_id").alias("id1"), F.col("bytes").alias("_b1"))
+    b2 = corpus.select(F.col("doc_id").alias("id2"), F.col("bytes").alias("_b2"))
+    verified = (
+        cand.join(b1, "id1")
+        .join(b2, "id2")
+        .sortWithinPartitions("id1")
+        .withColumn(
+            "snr_db", pairwise_snr_echofit_udf()(F.col("_b1"), F.col("_b2"))
+        )
+        .filter(F.col("snr_db") >= 25.0)
+    )
+    return verified.select(
+        F.col("id1").alias("doc_id1"), F.col("id2").alias("doc_id2")
+    )
+
+
+_Q125_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 FROM documents WHERE doc_id % 7 = 0
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+FROM corpus a JOIN corpus b
+  ON a.doc_id < b.doc_id AND a.doc_id % 200 = b.doc_id % 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7611,6 +7692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_audio_dedup_cascade": q122_audio_dedup_cascade,
         "q123_warped_snippet_retrieval": q123_warped_snippet_retrieval,
         "q124_audio_echo_pairs": q124_audio_echo_pairs,
+        "q125_audio_reencode_pairs": q125_audio_reencode_pairs,
     }
 
 
@@ -7739,6 +7821,7 @@ def oracle_sql() -> dict[str, str]:
         "q122_audio_dedup_cascade": _Q122_SQL,
         "q123_warped_snippet_retrieval": _Q123_SQL,
         "q124_audio_echo_pairs": _Q124_SQL,
+        "q125_audio_reencode_pairs": _Q125_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

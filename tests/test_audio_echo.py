@@ -114,3 +114,25 @@ def test_echofit_udf_batch_matches_scalar(spark):
         ).collect()
     ]
     assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_reencode_composite_passes_channel_fit(spark):
+    """Gain x shift x dither in one copy: plain and best-gain SNR both
+    fail, the channel fit absorbs the composition (g0 -> 0, tap at the
+    shift lag)."""
+    from text_similarity_node_spark.operators.audio import (
+        pairwise_snr_bestgain_udf,
+        reencode_pcm_udf,
+    )
+
+    x = _chord(5)
+    payload = np.clip(x * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    df = spark.createDataFrame([(payload,)], ["a"]).withColumn(
+        "b", reencode_pcm_udf()(F.col("a"))
+    )
+    row = df.select(
+        pairwise_snr_echofit_udf()(F.col("a"), F.col("b")).alias("fit"),
+        pairwise_snr_bestgain_udf(F.col("a"), F.col("b")).alias("bg"),
+    ).collect()[0]
+    assert row.fit > 30.0
+    assert row.bg < 10.0  # best-gain cannot absorb the shift

@@ -1062,3 +1062,36 @@ def pairwise_snr_echofit_udf(max_delay: int = 800):
         return pd.Series(out)
 
     return udf
+
+def reencode_pcm_udf(gain: float = 0.5, shift: int = 300, noise_amp: float = 0.002):
+    """The COMPOSITE re-encode transformation — volume normalization x
+    leading-silence trim/pad x dither in one pass: y = gain * x[. -
+    shift] (zero-padded head) + seeded noise, re-quantized.  Seeded by a
+    blake2b of the payload itself so distinct inputs get distinct
+    dither (deterministic, engine-free)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def udf(payload: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for p in payload:
+            if p is None:
+                out.append(None)
+                continue
+            x = np.frombuffer(p, dtype="<i2").astype(np.float64)
+            y = np.zeros_like(x)
+            if len(x) > shift:
+                y[shift:] = gain * x[:-shift]
+            seed = int.from_bytes(
+                hashlib.blake2b(p, digest_size=4).digest(), "little"
+            )
+            y = y + noise_amp * 32768.0 * np.random.RandomState(seed).randn(
+                len(x)
+            )
+            y = np.clip(np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)),
+                        -32768, 32767)
+            out.append(y.astype("<i2").tobytes())
+        return pd.Series(out)
+
+    return udf
