@@ -7233,7 +7233,15 @@ def q121_audio_pitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bytes", synth(F.col("doc_id")))
         .withColumn("sr_hz", F.lit(16000))
     )
-    pairs = audio_pitch_pairs(corpus, "doc_id", "bytes", threshold=0.9)
+    # max_shift=8 = 2x the planted per-clip range: copies carry
+    # k in [-4,4], so a COPY-COPY pair in one class can sit 8 semitones
+    # apart (first such pair: sources 48 and 648, so any corpus with
+    # >= ~650 doc_ids — sf0.1's 500 docs never reach it, sf>=2 does).
+    # The oracle counts every congruent pair, so the search window must
+    # cover the worst-case pairwise shift, not the per-clip one.
+    pairs = audio_pitch_pairs(
+        corpus, "doc_id", "bytes", threshold=0.9, max_shift=8
+    )
     return pairs.select(
         F.col("id1").alias("doc_id1"),
         F.col("id2").alias("doc_id2"),

@@ -113,7 +113,13 @@ def test_class_bands_never_transpositions():
 
 
 def test_end_to_end_recall_precision_and_shift(spark):
-    n, n_classes = 240, 100
+    # n >= 660 so COPY-COPY same-class pairs exist (d' - d must be a
+    # multiple of lcm-ish 300: (0,300), (48,648), ...) including the
+    # worst case |Dk| = 8 at (48, 648) — the pair a [-4,4] search window
+    # provably drops.  max_shift=8 (2x the per-clip planted range) is
+    # therefore the correct production setting for any corpus where two
+    # COPIES of one class can meet, and is what q121 ships.
+    n, n_classes = 660, 100
     base = spark.range(n).withColumnRenamed("id", "doc_id")
     copies = base.filter(F.col("doc_id") % 6 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id")
@@ -126,7 +132,9 @@ def test_end_to_end_recall_precision_and_shift(spark):
     )
     got = {
         (r.id1, r.id2): r.shift_semitones
-        for r in audio_pitch_pairs(corpus, "doc_id", "bytes").collect()
+        for r in audio_pitch_pairs(
+            corpus, "doc_id", "bytes", max_shift=8
+        ).collect()
     }
     ids = list(range(n)) + [1_000_000 + d for d in range(0, n, 6)]
     truth = {
@@ -138,6 +146,8 @@ def test_end_to_end_recall_precision_and_shift(spark):
     assert set(got) == truth  # recall and precision both 1.0
     for (a, b), s in got.items():
         assert s == planted_shift(b) - planted_shift(a)
+    # the worst-case copy-copy pair is actually in the corpus and found
+    assert got[(1_000_048, 1_000_648)] == -8
 
 
 def test_hot_key_cap_metered(spark):
