@@ -135,3 +135,45 @@ def test_streaming_cascade_replay_idempotent(spark, dirs):
         (r.clip_id, r.kept_id, r.tier) for r in sink.attributions().collect()
     )
     assert first == second
+
+
+def test_landmark_min_matches_rule(spark, dirs):
+    """Tier-2 candidate parity with the batch cascade: a pair sharing
+    exactly ONE landmark hash never reaches the SNR verify (batch
+    landmark_snr_pairs defaults to min_matches=2), while >= 2 distinct
+    shared hashes — even when replay-doubled store rows repeat them —
+    do.  Exercises _pair_candidates(with_key=True) + the count rule the
+    48-doc equality corpus cannot distinguish."""
+    import inspect
+
+    from text_similarity_node_spark.operators.audio_cascade import (
+        landmark_snr_pairs,
+    )
+
+    src, state, ckpt = dirs
+    sink = IncrementalAudioCascade(spark, state)
+    # defaults-parity pin: streaming min_matches == batch min_matches
+    batch_default = inspect.signature(landmark_snr_pairs).parameters[
+        "min_matches"
+    ].default
+    assert sink.min_matches == batch_default == 2
+
+    # new-side clips: 1<->2 share one hash, 1<->3 share two
+    new_kv = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (3, 11), (3, 12)],
+        ["clip_id", "h"],
+    )
+    # history clip 0 shares two hashes with 1 (rows doubled to simulate
+    # a crash-replayed append: count must be DISTINCT-h based)
+    hist_kv = spark.createDataFrame(
+        [(0, 10), (0, 10), (0, 11), (0, 11), (0, 99)], ["clip_id", "h"]
+    )
+    cand = (
+        sink._pair_candidates(new_kv, hist_kv, "landmark", [], with_key=True)
+        .groupBy("id1", "id2")
+        .agg(F.count_distinct("h").alias("n_matches"))
+        .filter(F.col("n_matches") >= sink.min_matches)
+        .select("id1", "id2")
+    )
+    got = {(r.id1, r.id2) for r in cand.collect()}
+    assert got == {(1, 3), (0, 1)}  # (1,2) single-hash pair filtered

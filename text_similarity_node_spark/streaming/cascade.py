@@ -71,6 +71,7 @@ class IncrementalAudioCascade:
         spark: SparkSession,
         state_dir: str,
         snr_threshold_db: float = 25.0,
+        min_matches: int = 2,
         max_dtw: float = 0.15,
         pitch_threshold: float = 0.9,
         hash_cap: int = 64,
@@ -81,6 +82,12 @@ class IncrementalAudioCascade:
         self.spark = spark
         self.state_dir = state_dir
         self.snr_threshold_db = snr_threshold_db
+        # landmark-tier candidate rule: a pair must share >= min_matches
+        # DISTINCT landmark hashes before the SNR verify — the same
+        # default as the batch cascade's landmark_snr_pairs
+        # (operators/audio_cascade.py), so streaming == batch holds for
+        # pairs sharing exactly one hash that would clear the verify
+        self.min_matches = min_matches
         self.max_dtw = max_dtw
         self.pitch_threshold = pitch_threshold
         self.hash_cap = hash_cap
@@ -100,6 +107,10 @@ class IncrementalAudioCascade:
         self.prof_path = p("prof_store")
         self.hot_path = p("hot_store")
         self.attrib_path = p("attrib")
+        #: every DataFrame .cache()'d during the current micro-batch;
+        #: unpersisted wholesale at the end of process_batch so a
+        #: long-running stream never accumulates stale RDD blocks
+        self._batch_cached: list[DataFrame] = []
 
     # -- helpers ----------------------------------------------------------
 
@@ -135,22 +146,31 @@ class IncrementalAudioCascade:
                 F.col("n").alias("n_at_detection"),
             )
         )
-        return new_kv.join(
+        kept = new_kv.join(
             F.broadcast(batch_hot.select("h")), "h", "left_anti"
         ).cache()
+        self._batch_cached.append(kept)
+        return kept
 
-    def _pair_candidates(self, kept_new, hist_kv, tier, dropped_acc):
+    def _pair_candidates(self, kept_new, hist_kv, tier, dropped_acc,
+                         with_key: bool = False):
         """(clip_id, h) new side vs itself (id1 < id2) and vs the history
         store; history-larger pairs are counted into ``dropped_acc`` and
-        dropped (arrival-order contract)."""
+        dropped (arrival-order contract).  With ``with_key`` each row
+        also carries the shared hash ``h`` so callers can count DISTINCT
+        shared keys per pair (the landmark tier's min_matches rule;
+        distinct because replayed appends can double store rows)."""
+        keep_cols = ["id1", "id2"] + (["h"] if with_key else [])
         a, b = kept_new.alias("a"), kept_new.alias("b")
         nn = a.join(
             F.broadcast(b),
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.clip_id") < F.col("b.clip_id")),
         ).select(
-            F.col("a.clip_id").alias("id1"), F.col("b.clip_id").alias("id2")
-        )
+            F.col("a.clip_id").alias("id1"),
+            F.col("b.clip_id").alias("id2"),
+            F.col("a.h").alias("h"),
+        ).select(*keep_cols)
         if hist_kv is None:
             return nn
         known = self._known_hot(tier)
@@ -159,9 +179,11 @@ class IncrementalAudioCascade:
         hh = hist_kv.alias("h2").join(
             F.broadcast(kept_new.alias("n")), F.col("n.h") == F.col("h2.h")
         ).select(
-            F.col("h2.clip_id").alias("id1"), F.col("n.clip_id").alias("id2")
+            F.col("h2.clip_id").alias("id1"),
+            F.col("n.clip_id").alias("id2"),
+            F.col("h2.h").alias("h"),
         )
-        ok = hh.filter(F.col("id1") < F.col("id2"))
+        ok = hh.filter(F.col("id1") < F.col("id2")).select(*keep_cols)
         n_dropped = hh.filter(F.col("id1") >= F.col("id2")).count()
         dropped_acc.append(n_dropped)
         return nn.unionByName(ok)
@@ -183,6 +205,7 @@ class IncrementalAudioCascade:
             .distinct()
             .cache()
         )
+        self._batch_cached.append(cand_ids)
         n = cand_ids.count()
         payloads = batch_df.select("clip_id", "bytes")
         hist = self._read(self.clips_path)
@@ -216,6 +239,7 @@ class IncrementalAudioCascade:
         batch_df = batch_df.select("clip_id", "bytes", "sr_hz").dropDuplicates(
             ["clip_id"]
         ).cache()
+        self._batch_cached = [batch_df]
         hot_rows: list[DataFrame] = []
         dropped_hist: list[int] = []
         removed_parts: list[DataFrame] = []
@@ -232,6 +256,7 @@ class IncrementalAudioCascade:
         md5_new = batch_df.select(
             "clip_id", F.md5(F.col("bytes")).alias("h")
         ).cache()
+        self._batch_cached.append(md5_new)
         hist_md5 = self._read(self.md5_path)
         w = Window.partitionBy("h")
         in_batch = md5_new.withColumn("bmin", F.min("clip_id").over(w))
@@ -286,6 +311,7 @@ class IncrementalAudioCascade:
 
         # ---- tier 2: landmark candidates + best-gain SNR ------------------
         rem2 = residual(batch_df).cache()
+        self._batch_cached.append(rem2)
         lm_new = (
             rem2.select(
                 "clip_id",
@@ -300,9 +326,22 @@ class IncrementalAudioCascade:
         lm_kept = self._capped_join_sides(
             lm_new, "landmark", self.hash_cap, hot_rows
         )
-        cand2 = self._pair_candidates(
-            lm_kept, self._read(self.marks_path), "landmark", dropped_hist
-        ).distinct().cache()
+        # min_matches parity with the batch cascade: count DISTINCT
+        # shared hashes per pair (distinct absorbs replay-doubled store
+        # rows) and keep only pairs clearing the same >= 2 bar
+        # landmark_snr_pairs applies before ITS verify
+        cand2 = (
+            self._pair_candidates(
+                lm_kept, self._read(self.marks_path), "landmark",
+                dropped_hist, with_key=True,
+            )
+            .groupBy("id1", "id2")
+            .agg(F.count_distinct("h").alias("n_matches"))
+            .filter(F.col("n_matches") >= self.min_matches)
+            .select("id1", "id2")
+            .cache()
+        )
+        self._batch_cached.append(cand2)
         payloads = self._fetch_payloads(rem2, cand2)
         verified2 = (
             cand2.join(
@@ -327,6 +366,7 @@ class IncrementalAudioCascade:
 
         # ---- tier 3: semitone words + DTW ---------------------------------
         rem3 = residual(batch_df).cache()
+        self._batch_cached.append(rem3)
         ingest3 = semitone_words_feats_udf()
         f3_new = (
             rem3.select(
@@ -336,6 +376,7 @@ class IncrementalAudioCascade:
             .select("clip_id", "s.words", "s.feats", "s.n_frames")
             .cache()
         )
+        self._batch_cached.append(f3_new)
         w3_new = f3_new.select(
             "clip_id", F.explode("words").alias("h")
         ).distinct()
@@ -349,6 +390,7 @@ class IncrementalAudioCascade:
             "dtw",
             dropped_hist,
         ).distinct().cache()
+        self._batch_cached.append(cand3)
         feats_all = f3_new.select("clip_id", "feats", "n_frames")
         hist_feats = self._read(self.feats_path)
         if hist_feats is not None:
@@ -389,6 +431,7 @@ class IncrementalAudioCascade:
 
         # ---- tier 4: pitch key + best-lag NCC -----------------------------
         rem4 = residual(batch_df).cache()
+        self._batch_cached.append(rem4)
         prof_new = (
             rem4.select(
                 "clip_id",
@@ -399,6 +442,7 @@ class IncrementalAudioCascade:
             .withColumn("inv_key", shift_invariant_key(F.col("profile")))
             .cache()
         )
+        self._batch_cached.append(prof_new)
         k4_new = prof_new.select("clip_id", F.col("inv_key").alias("h"))
         k4_kept = self._capped_join_sides(k4_new, "pitch", self.key_cap, hot_rows)
         hist_prof = self._read(self.prof_path)
@@ -410,6 +454,7 @@ class IncrementalAudioCascade:
             "pitch",
             dropped_hist,
         ).distinct().cache()
+        self._batch_cached.append(cand4)
         prof_all = prof_new.select("clip_id", "profile")
         if hist_prof is not None:
             prof_all = prof_all.unionByName(
@@ -457,6 +502,7 @@ class IncrementalAudioCascade:
         n_attrib = attrib.count()
 
         survivors = residual(batch_df).select("clip_id").cache()
+        self._batch_cached.append(survivors)
 
         def keep(df):
             return df.join(survivors, "clip_id", "left_semi")
@@ -510,8 +556,9 @@ class IncrementalAudioCascade:
             n_pairs=n_attrib,
             started_at=t0,
         )
-        for df in (batch_df, md5_new, survivors):
+        for df in self._batch_cached:
             df.unpersist()
+        self._batch_cached = []
 
     # -- views -------------------------------------------------------------
 
