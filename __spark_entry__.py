@@ -7276,7 +7276,10 @@ def q122_audio_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify (catches volume-rescaled re-encodes; rejects warps — no
     scalar gain aligns permuted envelopes, measured 36.7 vs 0.5 dB) ->
     tier 3 semitone spike-mask words + banded-DTW verify (catches
-    locally warped copies, measured dtw 0.091 vs 0.217 cross-class,
+    locally warped copies, measured dtw <= 0.072 with per-frame
+    mean-centered log energies (gain copies, removed upstream at tier 2,
+    sit >= 0.098; cross-class pairs share 0 words and never reach the
+    verify),
     which never even reaches the verify: 0 shared words) -> tier 4
     shift-invariant key + best-lag NCC (catches key changes, the
     transform every earlier tier is measured blind to: 0 shared

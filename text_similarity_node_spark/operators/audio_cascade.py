@@ -172,9 +172,14 @@ def semitone_words_feats_udf(
             energy = spec @ m
             mask = energy > (mask_rel * energy.max(axis=1, keepdims=True))
             words_out.append([int(v) for v in mask.astype(np.int64) @ weights])
-            feats_out.append(
-                [float(v) for v in np.log(energy + 1e-12).ravel()]
-            )
+            # mean-center each frame's log energies (audio_subseq.py does
+            # the same, for the same reason): the shared 1e-12 floor on
+            # empty bands drives raw-log frame cosines toward 1 and
+            # collapses the DTW margin, especially on content with many
+            # silent bands
+            feats = np.log(energy + 1e-12)
+            feats -= feats.mean(axis=1, keepdims=True)
+            feats_out.append([float(v) for v in feats.ravel()])
             nf_out.append(energy.shape[0])
         return pd.DataFrame(
             {"words": words_out, "feats": feats_out, "n_frames": nf_out}
