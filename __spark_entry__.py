@@ -2342,31 +2342,47 @@ ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 
 def q47_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-interval range join (operators/rangejoin.py): events landing
-    within 7 days at-or-after an order by the same customer.  Catalyst
-    would plan the raw inequality as BroadcastNestedLoop (|L|x|R| per
-    key); the operator's width-W time bucketing turns it into an equi-join
-    on (customer, bucket) with <= 2-way right-side replication.  The
+    in a per-order 2-day window by the same customer.  Catalyst would
+    plan the raw inequality as BroadcastNestedLoop (|L|x|R| per key);
+    the operator's width-W time bucketing turns it into an equi-join on
+    (customer, bucket) with <= 2-way right-side replication.  The
     oracle states the same predicate as the naive inequality join —
-    exactly the pairs the bucketed plan must reproduce."""
+    exactly the pairs the bucketed plan must reproduce.
+
+    The synthetic tables put events in Jan 2024 but o_orderdate in
+    1995-2001, so a raw date window can NEVER match (a 0-row green row
+    proves schema, not join semantics).  Each order's window is instead
+    PROJECTED onto the events epoch deterministically — lo = 2024-01-01
+    + (days since 1995-01-01 mod 29) days, hi = lo + 2 days — with the
+    identical closed form in the oracle SQL, so the join matches real
+    rows at every sf (~3.3k at sf0.01) and the bucketed plan's output
+    is value-checked, not just typed."""
     from text_similarity_node_spark.operators.rangejoin import interval_join
 
-    week_us = 7 * 24 * 3600 * 1_000_000
+    day_us = 24 * 3600 * 1_000_000
+    epoch_2024_us = 1_704_067_200 * 1_000_000  # 2024-01-01 00:00:00 UTC
     ev = _load(spark, sf_dir, "events").select(
         "event_id",
         F.col("user_id").alias("k"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us"),
     )
+    lo_us = (
+        F.lit(epoch_2024_us)
+        + (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+            % 29
+        ).cast("long")
+        * F.lit(day_us)
+    )
     orders = _load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_custkey").alias("k"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("lo_us"),
-        (
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")) + week_us
-        ).alias("hi_us"),
+        lo_us.alias("lo_us"),
+        (lo_us + 2 * day_us).alias("hi_us"),
     )
     out = interval_join(
         ev, orders, left_val="ev_us", right_lo="lo_us", right_hi="hi_us",
-        max_width=week_us, keys=["k"],
+        max_width=2 * day_us, keys=["k"],
     )
     return out.select(
         "event_id", F.col("k").alias("user_id"), "o_orderkey"
@@ -2374,12 +2390,19 @@ def q47_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q47_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         1704067200000000::BIGINT
+           + (date_diff('day', DATE '1995-01-01', o_orderdate) % 29)::BIGINT
+             * 86400000000::BIGINT AS lo_us
+  FROM orders
+)
 SELECT e.event_id, e.user_id, o.o_orderkey
 FROM events e
-JOIN orders o
+JOIN o
   ON e.user_id = o.o_custkey
- AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
- AND epoch_us(e.ts) < epoch_us(o.o_orderdate) + 604800000000::BIGINT
+ AND epoch_us(e.ts) >= o.lo_us
+ AND epoch_us(e.ts) < o.lo_us + 172800000000::BIGINT
 """
 
 
