@@ -7590,6 +7590,78 @@ FROM corpus a JOIN corpus b
 """
 
 
+def q126_audio_composite_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE pitch x stretch x echo robustness
+    (operators/audio_composite.py) — the transform COMPOSITION closure
+    the single-axis tiers leave open: copies here are pitch-shifted
+    (k in [-4,4] semitones, the q121 axis), time-stretched (+-1.5%, the
+    q101 axis, small enough that every tone stays inside its
+    k-translated semitone band) AND passed through the q124 2-tap echo
+    channel, in one chain.  The echo's independent per-tone gains (up to
+    8.4 dB) break q121's NCC verify (measured worst-case cosine ~0.66),
+    so the verify is RANK-based: exact integer translation of the top-3
+    band triple (which simultaneously recovers the pitch distance,
+    emitted and checked bit-exactly) plus a >= 0.5 energy-concentration
+    gate on both sides — both statistics provably invariant to any
+    per-band gain that preserves top-3 membership, which the echo's
+    |H| >= 0.379 guarantees here by ~20 dB.  max_shift=8 covers the
+    worst copy-copy pair (the q121 lesson).  Corpus: q121's chord
+    classes (mod 200, unique difference patterns); copies at
+    doc_id + 1_000_000 for doc_id % 6 == 0, echo applied as a separate
+    waveform transform (audio.echo_pcm_udf) after the synth.
+    Congruence mod 200 is the pair ground truth and the shift column's
+    closed form is planted_shift(b) - planted_shift(a); recall,
+    precision, and shift recovery must all be exact for the hash to
+    match."""
+    from text_similarity_node_spark.operators.audio import echo_pcm_udf
+    from text_similarity_node_spark.operators.audio_composite import (
+        composite_pairs,
+        synth_composite_pcm_udf,
+    )
+
+    base = _load(spark, sf_dir, "documents").select("doc_id")
+    copies = base.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    synth = synth_composite_pcm_udf(n_classes=200)
+    corpus = (
+        base.unionByName(copies)
+        .withColumn("bytes", synth(F.col("doc_id")))
+        .withColumn(
+            "bytes",
+            F.when(
+                F.col("doc_id") >= 1_000_000, echo_pcm_udf()(F.col("bytes"))
+            ).otherwise(F.col("bytes")),
+        )
+        .withColumn("sr_hz", F.lit(16000))
+    )
+    pairs = composite_pairs(corpus, "doc_id", "bytes", max_shift=8)
+    return pairs.select(
+        F.col("id1").alias("doc_id1"),
+        F.col("id2").alias("doc_id2"),
+        F.col("shift_semitones"),
+    )
+
+
+_Q126_SQL = """
+WITH corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 6 = 0
+), keyed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id >= 1000000
+              THEN ((doc_id - 1000000) // 6) % 9 - 4
+              ELSE 0 END AS k
+  FROM corpus
+)
+SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+       (b.k - a.k)::INT AS shift_semitones
+FROM keyed a JOIN keyed b
+  ON a.doc_id < b.doc_id AND a.doc_id % 200 = b.doc_id % 200
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7601,57 +7673,78 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Full catalog, RISK-ORDERED: the round driver hard-checks the
+    first 50 entries against their DuckDB oracles, so the window
+    carries the highest-evidence-value slice — every similarity
+    kernel anchor, the probabilistic candidate generators with their
+    oracled recall audits, the dedup/ANN core, and the audio
+    robustness family that previously rested on the local gate
+    (tests/test_entry_oracle.py) alone.  The remaining 75 queries are
+    unchanged and stay under the driver-faithful local gate, which
+    checks ALL entries."""
     return {
-        "q01_pricing_summary": q01_pricing_summary,
+        # ---- driver hard-check window (first 50) ----------------------
         "q02_levenshtein_pairs": q02_levenshtein_pairs,
+        "q23_damerau_pairs": q23_damerau_pairs,
+        "q22_hamming_prefix": q22_hamming_prefix,
+        "q26_jaro_pairs": q26_jaro_pairs,
+        "q12_jaro_winkler_pairs": q12_jaro_winkler_pairs,
         "q03_word_jaccard_pairs": q03_word_jaccard_pairs,
         "q04_ngram_jaccard_pairs": q04_ngram_jaccard_pairs,
+        "q13_prefix_jaccard_join": q13_prefix_jaccard_join,
+        "q20_multiset_measures": q20_multiset_measures,
+        "q24_cosine_pairs": q24_cosine_pairs,
+        "q30_char_cosine_pairs": q30_char_cosine_pairs,
+        "q38_char_cosine_nonascii_pairs": q38_char_cosine_nonascii_pairs,
+        "q21_lnorm_distances": q21_lnorm_distances,
+        "q25_chebyshev_pairs": q25_chebyshev_pairs,
+        "q16_minhash_lsh_pairs": q16_minhash_lsh_pairs,
+        "q31_simhash_recall_audit": q31_simhash_recall_audit,
+        "q17_simhash_hamming_pairs": q17_simhash_hamming_pairs,
+        "q35_minhash_recall_audit": q35_minhash_recall_audit,
+        "q19_ann_lsh": q19_ann_lsh,
+        "q36_ann_lsh_recall_audit": q36_ann_lsh_recall_audit,
         "q05_exact_dedup": q05_exact_dedup,
-        "q06_token_stats": q06_token_stats,
+        "q28_exact_dedup_canonical": q28_exact_dedup_canonical,
+        "q14_connected_components": q14_connected_components,
+        "q116_incremental_cc": q116_incremental_cc,
+        "q18_containment_pairs": q18_containment_pairs,
+        "q29_embedding_neardup": q29_embedding_neardup,
+        "q10_embedding_cosine_topk": q10_embedding_cosine_topk,
+        "q33_ann_ivf": q33_ann_ivf,
+        "q37_ngram_jaccard_scale": q37_ngram_jaccard_scale,
+        "q49_dedup_cascade": q49_dedup_cascade,
+        "q40_benchmark_contamination": q40_benchmark_contamination,
         "q07_quality_scores": q07_quality_scores,
         "q08_fingerprint": q08_fingerprint,
-        "q09_priority_revenue": q09_priority_revenue,
-        "q10_embedding_cosine_topk": q10_embedding_cosine_topk,
-        "q11_events_hourly": q11_events_hourly,
-        "q12_jaro_winkler_pairs": q12_jaro_winkler_pairs,
-        "q13_prefix_jaccard_join": q13_prefix_jaccard_join,
-        "q14_connected_components": q14_connected_components,
-        "q15_langid": q15_langid,
-        "q16_minhash_lsh_pairs": q16_minhash_lsh_pairs,
-        "q17_simhash_hamming_pairs": q17_simhash_hamming_pairs,
-        "q18_containment_pairs": q18_containment_pairs,
-        "q19_ann_lsh": q19_ann_lsh,
-        "q20_multiset_measures": q20_multiset_measures,
-        "q21_lnorm_distances": q21_lnorm_distances,
-        "q22_hamming_prefix": q22_hamming_prefix,
-        "q23_damerau_pairs": q23_damerau_pairs,
-        "q24_cosine_pairs": q24_cosine_pairs,
-        "q25_chebyshev_pairs": q25_chebyshev_pairs,
-        "q26_jaro_pairs": q26_jaro_pairs,
+        "q06_token_stats": q06_token_stats,
+        "q100_wer_audit": q100_wer_audit,
+        "q103_transcript_consensus": q103_transcript_consensus,
+        "q46_asof_join": q46_asof_join,
+        "q47_interval_join": q47_interval_join,
         "q27_audio_rms": q27_audio_rms,
-        "q28_exact_dedup_canonical": q28_exact_dedup_canonical,
-        "q29_embedding_neardup": q29_embedding_neardup,
-        "q30_char_cosine_pairs": q30_char_cosine_pairs,
-        "q31_simhash_recall_audit": q31_simhash_recall_audit,
         "q32_audio_fingerprint_pairs": q32_audio_fingerprint_pairs,
-        "q33_ann_ivf": q33_ann_ivf,
+        "q119_audio_hk_pairs": q119_audio_hk_pairs,
+        "q120_audio_dtw_pairs": q120_audio_dtw_pairs,
+        "q121_audio_pitch_pairs": q121_audio_pitch_pairs,
+        "q122_audio_dedup_cascade": q122_audio_dedup_cascade,
+        "q123_warped_snippet_retrieval": q123_warped_snippet_retrieval,
+        "q124_audio_echo_pairs": q124_audio_echo_pairs,
+        "q125_audio_reencode_pairs": q125_audio_reencode_pairs,
         "q34_image_phash_pairs": q34_image_phash_pairs,
-        "q35_minhash_recall_audit": q35_minhash_recall_audit,
-        "q36_ann_lsh_recall_audit": q36_ann_lsh_recall_audit,
-        "q37_ngram_jaccard_scale": q37_ngram_jaccard_scale,
-        "q38_char_cosine_nonascii_pairs": q38_char_cosine_nonascii_pairs,
+        "q50_video_neardup": q50_video_neardup,
         "q39_multimodal_neardup_clusters": q39_multimodal_neardup_clusters,
-        "q40_benchmark_contamination": q40_benchmark_contamination,
+        # ---- local-gate slice (checked by tests/test_entry_oracle.py) -
+        "q01_pricing_summary": q01_pricing_summary,
+        "q09_priority_revenue": q09_priority_revenue,
+        "q11_events_hourly": q11_events_hourly,
+        "q15_langid": q15_langid,
         "q41_event_sessionization": q41_event_sessionization,
         "q42_train_val_split": q42_train_val_split,
         "q43_repetition_stats": q43_repetition_stats,
         "q44_pii_redaction": q44_pii_redaction,
         "q45_shipping_priority": q45_shipping_priority,
-        "q46_asof_join": q46_asof_join,
-        "q47_interval_join": q47_interval_join,
         "q48_audio_quality": q48_audio_quality,
-        "q49_dedup_cascade": q49_dedup_cascade,
-        "q50_video_neardup": q50_video_neardup,
         "q51_audio_shift_pairs": q51_audio_shift_pairs,
         "q52_audio_resample_pairs": q52_audio_resample_pairs,
         "q53_vad_segments": q53_vad_segments,
@@ -7701,10 +7794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_quality_keep_policy": q97_quality_keep_policy,
         "q98_audio_duration_savings": q98_audio_duration_savings,
         "q99_repetition_filter": q99_repetition_filter,
-        "q100_wer_audit": q100_wer_audit,
         "q101_audio_stretch_profile_pairs": q101_audio_stretch_profile_pairs,
         "q102_crossmodal_disagreement": q102_crossmodal_disagreement,
-        "q103_transcript_consensus": q103_transcript_consensus,
         "q104_audio_boilerplate_intro": q104_audio_boilerplate_intro,
         "q105_set_containment_join": q105_set_containment_join,
         "q106_audio_set_minhash_pairs": q106_audio_set_minhash_pairs,
@@ -7717,16 +7808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_minhash_merge_audit": q113_minhash_merge_audit,
         "q114_grouped_topk": q114_grouped_topk,
         "q115_embedding_centroid_drift": q115_embedding_centroid_drift,
-        "q116_incremental_cc": q116_incremental_cc,
         "q117_channel_layout_dedup": q117_channel_layout_dedup,
         "q118_sql_surface_pairs": q118_sql_surface_pairs,
-        "q119_audio_hk_pairs": q119_audio_hk_pairs,
-        "q120_audio_dtw_pairs": q120_audio_dtw_pairs,
-        "q121_audio_pitch_pairs": q121_audio_pitch_pairs,
-        "q122_audio_dedup_cascade": q122_audio_dedup_cascade,
-        "q123_warped_snippet_retrieval": q123_warped_snippet_retrieval,
-        "q124_audio_echo_pairs": q124_audio_echo_pairs,
-        "q125_audio_reencode_pairs": q125_audio_reencode_pairs,
+        "q126_audio_composite_pairs": q126_audio_composite_pairs,
     }
 
 
@@ -7856,6 +7940,7 @@ def oracle_sql() -> dict[str, str]:
         "q123_warped_snippet_retrieval": _Q123_SQL,
         "q124_audio_echo_pairs": _Q124_SQL,
         "q125_audio_reencode_pairs": _Q125_SQL,
+        "q126_audio_composite_pairs": _Q126_SQL,
         # q16/q17/q19 intentionally have no oracle: probabilistic candidate
         # membership (MinHash LSH, SimHash, RHP buckets) is not
         # SQL-expressible; the driver records rows-only checks there, and

@@ -98,10 +98,9 @@ def phash64(img: np.ndarray) -> int:
     # their median give 63 discriminative bits (naturally positive int64).
     ac = d[1:]
     med = np.median(ac)
-    word = 0
-    for b in ac > med:
-        word = (word << 1) | int(b)
-    return word
+    # MSB-first pack of the 63 comparison bits (packbits pads one trailing
+    # zero bit, hence the >> 1); bit-exact with the former Python loop
+    return int.from_bytes(np.packbits(ac > med).tobytes(), "big") >> 1
 
 
 def phash_udf(codec_default: str = "raw_rgb8"):
