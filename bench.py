@@ -85,6 +85,13 @@ def bench_pipeline_config(shuffle_partitions: int, run_id: str,
         # scaling run disables both (fixed per-stage job overhead would
         # dominate the latency-calibrated efficiency measurement)
         per_partition_metrics=checkpoint_stages,
+        # every join in this plan carries its own skew disposition
+        # (salted bands, metered caps), so AQE only adds per-query-stage
+        # driver re-planning — a parallelism-independent serial term
+        # (measured 115.9 -> 93.2 s at local[8], 200k clips, with the
+        # CC loop alone 10.0 -> 2.9 s).  Off for the bench pipeline;
+        # PipelineConfig default leaves the session setting untouched.
+        adaptive_enabled=False,
         run_id=run_id,
     )
 
@@ -98,6 +105,11 @@ def materialize_clips(spark, n_clips: int, path: str) -> None:
 
 def run_pipeline(spark, clips_path: str, shuffle_partitions: int, run_id: str,
                  checkpoint_stages: bool = True):
+    """Callers pass 2 x cores as ``shuffle_partitions``: two task waves
+    per stage smooth straggler tails (measured 88.7 -> 82.7 s at
+    local[8], 200k clips); the pipeline pins the session conf for the
+    run.  The cores ratio is identical at every scaling level, so the
+    N-vs-4N comparison stays like-for-like."""
     from text_similarity_node_spark.plans.pipeline import NearDupPipeline
 
     clips = spark.read.parquet(clips_path)
@@ -167,7 +179,7 @@ def bench_default():
         pipe_s = float("inf")
         for p in range(2):
             spark.catalog.clearCache()
-            t, n_clusters = run_pipeline(spark, clips_path, CPUS, f"bench_{p}")
+            t, n_clusters = run_pipeline(spark, clips_path, 2 * CPUS, f"bench_{p}")
             pipe_s = min(pipe_s, t)
             print(f"[bench] neardup_pipeline pass {p}: {t:.1f}s",
                   file=sys.stderr, flush=True)
@@ -212,7 +224,8 @@ def _scaling_child(cores: int, clips_path: str, warm_path: str,
     spark = get_spark(
         app_name=f"tsn-scale-{cores}", cores=cores, shuffle_partitions=cores
     )
-    run_pipeline(spark, warm_path, cores, f"warm_{cores}", checkpoint_stages=False)
+    run_pipeline(spark, warm_path, 2 * cores, f"warm_{cores}",
+                 checkpoint_stages=False)
     times = []
     for p in range(passes):
         # drop every persisted stage output from the previous pass: the
@@ -221,7 +234,8 @@ def _scaling_child(cores: int, clips_path: str, warm_path: str,
         # measures nothing
         spark.catalog.clearCache()
         t, _ = run_pipeline(
-            spark, clips_path, cores, f"scale_{cores}_{p}", checkpoint_stages=False
+            spark, clips_path, 2 * cores, f"scale_{cores}_{p}",
+            checkpoint_stages=False
         )
         times.append(t)
     spark.stop()

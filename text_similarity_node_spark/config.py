@@ -176,6 +176,19 @@ class PipelineConfig:
     # a plain-parquet checkpoint from an earlier run still resumes (the
     # catalog falls back to the path read, losing only the co-location).
     bucketed_stores: bool = True
+    # Adaptive Query Execution for the pipeline's own queries.  Every
+    # join in this plan is already a deterministic equi-join with
+    # explicit skew disposition (salted triangle bands, metered caps),
+    # so AQE's contribution here is re-optimizing each materialized
+    # query stage — single-threaded driver work between stages that is
+    # identical at every parallelism level.  Measured on the 200k-clip
+    # scaling corpus at local[8]: 115.9 s with AQE vs 93.2 s without
+    # (the CC loop alone 10.0 -> 2.9 s — one re-plan per iteration).
+    # None = leave the session's setting untouched; True/False pins the
+    # conf for the run and restores it after.  Production deployments
+    # with non-salted ad-hoc queries in the same session should keep
+    # their session default on.
+    adaptive_enabled: bool | None = None
 
     run_id: str = "run0"
 
@@ -197,6 +210,7 @@ class PipelineConfig:
         payload.pop("shuffle_partitions", None)
         payload.pop("per_partition_metrics", None)
         payload.pop("bucketed_stores", None)
+        payload.pop("adaptive_enabled", None)
         blob = json.dumps(payload, sort_keys=True, default=str).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

@@ -68,7 +68,10 @@ def candidate_pairs(
         F.when(F.col("n_rows") > cfg.band_cap, F.lit("dropped"))
         .when(F.col("n_rows") > cfg.hot_band_threshold, F.lit("salted"))
         .otherwise(F.lit("cold")),
-    )
+    ).persist()
+    # persisted because BOTH the caller's band audit (a collect) and the
+    # two broadcast hot-key builds below read it — without the cache the
+    # full band aggregation (25 x n_docs rows) re-runs per consumer
 
     # the non-cold key set is tiny (one row per distinct hot/dropped key)
     def _tag(side: DataFrame) -> DataFrame:

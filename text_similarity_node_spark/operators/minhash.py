@@ -154,6 +154,7 @@ def prefilter_candidates(
     signatures: DataFrame,
     cfg: PipelineConfig,
     id_col: str = "clip_id",
+    tag_col: str | None = None,
 ) -> DataFrame:
     """Drop candidate pairs that provably cannot pass the exact MULTISET-
     Jaccard verify, using the estimated SET-Jaccard (signature slot
@@ -212,12 +213,15 @@ def prefilter_candidates(
     sentinel = (F.element_at(F.col("_sig1"), 1) == -1) | (
         F.element_at(F.col("_sig2"), 1) == -1
     )
-    out = (
-        pairs.join(s1, "id1")
-        .join(s2, "id2")
-        .filter(sentinel | (jm_bound >= F.lit(cfg.verify_threshold)))
-        .drop("_sig1", "_sig2")
-    )
+    keep = sentinel | (jm_bound >= F.lit(cfg.verify_threshold))
+    joined = pairs.join(s1, "id1").join(s2, "id2")
+    if tag_col is not None:
+        # tag instead of filter: lets a caller count kept + dropped in
+        # ONE aggregation job over the tagged frame instead of two
+        # count actions over pre- and post-filter frames
+        out = joined.withColumn(tag_col, keep).drop("_sig1", "_sig2")
+    else:
+        out = joined.filter(keep).drop("_sig1", "_sig2")
     return out.drop("_s1", "_s2", "_t1", "_t2") if has_ts else out
 
 

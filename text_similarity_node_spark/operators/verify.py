@@ -105,13 +105,17 @@ def verify_pairs_multiset_jaccard_arrays(
             total.alias("_total"),
         )
     else:
+        # persist the reduced form: both join sides read it, and without
+        # the cache the tokenize + hash + sort runs TWICE over the whole
+        # corpus (once per side).  GC-cleaned like the other operator
+        # persists.
         arrs = docs_tokens.select(
             F.col(id_col).alias("_vid"),
             F.sort_array(
                 F.transform(F.col(tokens_col), lambda t: F.xxhash64(t))
             ).alias("_harr"),
             F.size(F.col(tokens_col)).alias("_total"),
-        )
+        ).persist()
     pairs = candidates.select("id1", "id2")
     a1 = arrs.select(
         F.col("_vid").alias("id1"), F.col("_harr").alias("_h1"),

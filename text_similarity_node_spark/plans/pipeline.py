@@ -248,6 +248,30 @@ class NearDupPipeline:
     # -- stages ---------------------------------------------------------------
 
     def run(self, clips: DataFrame) -> PipelineResult:
+        """Pin the run's execution confs (restored after): AQE per
+        ``cfg.adaptive_enabled`` (see the config rationale +
+        measurements), and ``spark.sql.shuffle.partitions`` to
+        ``cfg.shuffle_partitions`` so the config value actually governs
+        the pipeline's shuffles regardless of the session default."""
+        spark = self.spark
+        pins = {
+            "spark.sql.shuffle.partitions": str(self.cfg.shuffle_partitions),
+        }
+        if self.cfg.adaptive_enabled is not None:
+            pins["spark.sql.adaptive.enabled"] = str(
+                self.cfg.adaptive_enabled
+            ).lower()
+        prior = {k: spark.conf.get(k, None) for k in pins}
+        for k, v in pins.items():
+            spark.conf.set(k, v)
+        try:
+            return self._run(clips)
+        finally:
+            for k, v in prior.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+
+    def _run(self, clips: DataFrame) -> PipelineResult:
         cfg = self.cfg
         spark = self.spark
 
@@ -372,14 +396,22 @@ class NearDupPipeline:
         # so a pair it drops cannot pass the exact multiset verify — up to
         # MinHash estimator variance, which the margin covers (logged).
         def build_verified():
-            cand = (
+            cand_union = (
                 lsh_pairs.unionByName(sim_pairs).unionByName(sub_pairs)
                 .groupBy("id1", "id2")
                 .agg(F.array_join(F.collect_set("source"), ",").alias("sources"))
+            )
+            # tag + one aggregation: the union, the prefilter joins, and
+            # BOTH ledger counts materialize in a single job (two count
+            # actions here were two full plan-walks at every level)
+            tagged = minhash.prefilter_candidates(
+                cand_union, signatures, cfg, tag_col="_keep"
             ).persist()
-            n_before = cand.count()
-            cand = minhash.prefilter_candidates(cand, signatures, cfg).persist()
-            n_after = cand.count()
+            n_before, n_after = tagged.agg(
+                F.count(F.lit(1)),
+                F.coalesce(F.sum(F.col("_keep").cast("long")), F.lit(0)),
+            ).collect()[0]
+            cand = tagged.filter(F.col("_keep")).drop("_keep")
             self._log(
                 "verify_prefilter", n_before, n_after,
                 dropped=n_before - n_after,
