@@ -125,6 +125,104 @@ def run_pipeline(spark, clips_path: str, shuffle_partitions: int, run_id: str,
     return elapsed, n_clusters
 
 
+def streaming_soak_config(shuffle_partitions: int, run_id: str):
+    """The minhash-only comparable of the bench pipeline config: the
+    incremental sink generates candidates from LSH bands alone, so the
+    one-shot reference disables the simhash/containment passes and the
+    exact-dedup canonicalization (the stream verifies byte-identical
+    transcripts through the same LSH path).  Same shingles, signatures,
+    and verify threshold — the pair sets must be EQUAL."""
+    from text_similarity_node_spark.config import PipelineConfig
+
+    return PipelineConfig(
+        ngram_size=5,
+        verify_threshold=0.8,
+        shuffle_partitions=shuffle_partitions,
+        checkpoint_stages=False,
+        per_partition_metrics=False,
+        adaptive_enabled=False,
+        exact_dedup_first=False,
+        simhash_enabled=False,
+        substring_enabled=False,
+        run_id=run_id,
+    )
+
+
+def run_streaming_soak(spark, clips_path: str, n_batches: int = 6):
+    """Soak the incremental dedup sink over the bench corpus sliced into
+    id-ordered micro-batches, then assert PAIR-SET EQUALITY against the
+    one-shot minhash-only pipeline on the identical input.
+
+    Returns (elapsed_s, per_batch_s, n_pairs).  Raises if the streaming
+    union of per-batch outputs differs from the one-shot run — the bench
+    refuses to report a time for a wrong answer."""
+    from pyspark.sql import functions as F
+
+    from text_similarity_node_spark.plans.pipeline import NearDupPipeline
+    from text_similarity_node_spark.streaming.incremental import IncrementalDedup
+
+    clips = (
+        spark.read.parquet(clips_path)
+        .select("clip_id", "transcript")
+        # clip ids are zero-padded strings (clip_000000000042): the
+        # trailing digits give an id-ORDERED numeric axis to slice on,
+        # so arrival order matches the streaming layer's ingest contract
+        .withColumn(
+            "_ord", F.regexp_extract("clip_id", r"(\d+)$", 1).cast("long")
+        )
+    )
+    ids = clips.select(
+        F.min("_ord").alias("lo"), F.max("_ord").alias("hi")
+    ).collect()[0]
+    if ids.lo is None:
+        raise ValueError("clip_id carries no trailing digits to slice on")
+    edges = [
+        int(ids.lo) + (int(ids.hi) - int(ids.lo) + 1) * i // n_batches
+        for i in range(n_batches + 1)
+    ]
+    state = tempfile.mkdtemp(prefix="tsn_soak_state_")
+    per_batch = []
+    try:
+        sink = IncrementalDedup(
+            spark, streaming_soak_config(2 * CPUS, "soak"), state
+        )
+        t0 = time.time()
+        for b in range(n_batches):
+            bt = time.time()
+            batch = clips.filter(
+                (F.col("_ord") >= edges[b]) & (F.col("_ord") < edges[b + 1])
+            ).drop("_ord")
+            sink.process_batch(batch, b)
+            per_batch.append(round(time.time() - bt, 2))
+        stream_pairs = {
+            (r.id1, r.id2)
+            for r in sink.verified_pairs().select("id1", "id2").collect()
+        }
+        elapsed = time.time() - t0
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+    wh = tempfile.mkdtemp(prefix="tsn_soak_wh_")
+    try:
+        res = NearDupPipeline(
+            spark, streaming_soak_config(2 * CPUS, "soak_ref"), wh
+        ).run(spark.read.parquet(clips_path))
+        batch_pairs = {
+            (r.id1, r.id2)
+            for r in res.verified_pairs.select("id1", "id2").collect()
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    if stream_pairs != batch_pairs:
+        missing = len(batch_pairs - stream_pairs)
+        extra = len(stream_pairs - batch_pairs)
+        raise AssertionError(
+            f"streaming soak diverged from one-shot pipeline: "
+            f"{missing} missing, {extra} extra of {len(batch_pairs)} pairs"
+        )
+    return elapsed, per_batch, len(stream_pairs)
+
+
 def bench_default():
     from text_similarity_node_spark.session import get_spark
 
@@ -183,9 +281,22 @@ def bench_default():
             pipe_s = min(pipe_s, t)
             print(f"[bench] neardup_pipeline pass {p}: {t:.1f}s",
                   file=sys.stderr, flush=True)
+        # streaming soak: the same 60k corpus in 6 id-ordered
+        # micro-batches through the incremental sink, equality-gated
+        # against the one-shot minhash-only pipeline (raises on any
+        # pair diff — no time is reported for a wrong answer)
+        soak_s, soak_batches, soak_pairs = run_streaming_soak(
+            spark, clips_path, n_batches=6
+        )
+        print(
+            f"[bench] streaming_soak: {soak_s:.1f}s batches={soak_batches} "
+            f"pairs={soak_pairs} (== one-shot)",
+            file=sys.stderr, flush=True,
+        )
     finally:
         shutil.rmtree(clips_dir, ignore_errors=True)
     queries["neardup_pipeline"] = round(pipe_s, 3)
+    queries["streaming_soak"] = round(soak_s, 3)
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -197,6 +308,8 @@ def bench_default():
         "clips": N_CLIPS,
         "clips_per_sec": round(N_CLIPS / pipe_s, 1),
         "n_clusters": n_clusters,
+        "streaming_soak_batches": soak_batches,
+        "streaming_soak_pairs": soak_pairs,
         "cores": CPUS,
         "host": host_health_probe(),
     }

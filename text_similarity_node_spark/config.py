@@ -128,7 +128,12 @@ class PipelineConfig:
     # the reference's quick answer — no tokenization needed).
     exact_dedup_first: bool = True
 
-    # SimHash / Hamming banding
+    # SimHash / Hamming banding.  ``simhash_enabled`` turns the whole
+    # pass off — used by deployments that want a single-candidate-source
+    # pipeline (e.g. the streaming-equality soak, whose incremental sink
+    # is minhash-LSH only) and by corpora where the band pass alone
+    # carries recall.
+    simhash_enabled: bool = True
     simhash_bits: int = 64
     hamming_radius: int = 3
 

@@ -351,16 +351,23 @@ class NearDupPipeline:
         lsh_pairs = self._stage("lsh_candidates", build_lsh_pairs, signatures)
 
         # Stage 3: SimHash Hamming candidates.
-        def build_simhash_pairs():
-            return (
-                simhash.simhash_candidates(
-                    signatures.select("clip_id", "simhash"), cfg
+        if cfg.simhash_enabled:
+            def build_simhash_pairs():
+                return (
+                    simhash.simhash_candidates(
+                        signatures.select("clip_id", "simhash"), cfg
+                    )
+                    .select("id1", "id2")
+                    .withColumn("source", F.lit("simhash"))
                 )
-                .select("id1", "id2")
-                .withColumn("source", F.lit("simhash"))
-            )
 
-        sim_pairs = self._stage("simhash_candidates", build_simhash_pairs, signatures)
+            sim_pairs = self._stage(
+                "simhash_candidates", build_simhash_pairs, signatures
+            )
+        else:
+            sim_pairs = spark.createDataFrame(
+                [], "id1 string, id2 string, source string"
+            )
 
         # Stage 4: containment (winnowed substring) candidates.
         if cfg.substring_enabled:
