@@ -296,8 +296,9 @@ def bench_default():
     finally:
         shutil.rmtree(clips_dir, ignore_errors=True)
     queries["neardup_pipeline"] = round(pipe_s, 3)
-    queries["streaming_soak"] = round(soak_s, 3)
 
+    # e2e value stays the sum of the BATCH query entries (comparable
+    # round over round); the soak is reported as its own top-level block
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "e2e_seconds",
@@ -308,8 +309,12 @@ def bench_default():
         "clips": N_CLIPS,
         "clips_per_sec": round(N_CLIPS / pipe_s, 1),
         "n_clusters": n_clusters,
-        "streaming_soak_batches": soak_batches,
-        "streaming_soak_pairs": soak_pairs,
+        "streaming_soak": {
+            "seconds": round(soak_s, 3),
+            "batches": soak_batches,
+            "pairs": soak_pairs,
+            "equal_to_one_shot": True,  # run_streaming_soak raises otherwise
+        },
         "cores": CPUS,
         "host": host_health_probe(),
     }
