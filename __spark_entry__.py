@@ -7229,9 +7229,10 @@ def q121_audio_pitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so candidates come from a shift-invariant equi-join key (the
     pairwise index differences of the top-3 energy bands — preserved by
     any uniform translation) and the verify is the best-lag normalized
-    cross-correlation over lags in [-4, +4], pure JVM; the argmax lag
-    IS the planted key distance, which the query emits and the oracle
-    restates in closed form.  Corpus: 3-tone chord per doc at semitone
+    cross-correlation over lags in [-8, +8] (2x the planted per-clip
+    range — copy-copy pairs in one class sit up to 8 semitones apart),
+    pure JVM; the argmax lag IS the planted key distance, which the
+    query emits and the oracle restates in closed form.  Corpus: 3-tone chord per doc at semitone
     band centers, class = doc_id %% 200 with a UNIQUE top-3 difference
     pattern per class (no two classes are transpositions, so neither
     stage can cross-match); copies at doc_id + 1_000_000 for
