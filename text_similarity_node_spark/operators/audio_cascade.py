@@ -320,8 +320,18 @@ def default_audio_tiers(
     max_dtw: float = 0.15,
     pitch_threshold: float = 0.9,
     landmark_kwargs: dict | None = None,
+    hash_cap: int = 64,
+    word_cap: int = 64,
+    key_cap: int = 4096,
 ):
-    """The shipped 4-tier ladder (exact -> landmark -> dtw -> pitch)."""
+    """The shipped 4-tier ladder (exact -> landmark -> dtw -> pitch).
+
+    The cap knobs pass through to each tier's hot-key metering.  Note
+    the cap SEMANTICS axis vs the streaming cascade: batch caps count
+    keys over the WHOLE corpus, the stream over each arrival prefix
+    (per-batch + learned hot store), so batch==stream equality is only
+    contractual when no cap fires on either side — soak tests pin the
+    caps high for exactly that reason."""
     from .audio_pitch import audio_pitch_pairs
 
     lkw = landmark_kwargs or dict(
@@ -333,19 +343,21 @@ def default_audio_tiers(
             "landmark",
             lambda d: landmark_snr_pairs(
                 d, id_col, bytes_col, sr_col,
-                snr_threshold_db=snr_threshold_db, **lkw,
+                snr_threshold_db=snr_threshold_db, hash_cap=hash_cap, **lkw,
             ),
         ),
         (
             "dtw",
             lambda d: semitone_dtw_pairs(
-                d, id_col, bytes_col, sr_col, max_dtw=max_dtw
+                d, id_col, bytes_col, sr_col, max_dtw=max_dtw,
+                word_cap=word_cap,
             ),
         ),
         (
             "pitch",
             lambda d: audio_pitch_pairs(
-                d, id_col, bytes_col, sr_col, threshold=pitch_threshold
+                d, id_col, bytes_col, sr_col, threshold=pitch_threshold,
+                key_cap=key_cap,
             ).select("id1", "id2"),
         ),
     ]

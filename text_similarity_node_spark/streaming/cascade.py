@@ -8,23 +8,29 @@ its own batch, without ever re-walking history: the daily-ingest shape of
 a 10^12-clip catalog.
 
 Per-tier state lives in the checkpoint warehouse as append-only parquet
-stores holding features of KEPT clips only (a clip removed at tier i is
-gone from every store, exactly as it is gone from the batch cascade's
-later tiers):
+stores with ONE-SHOT-FAITHFUL visibility: the batch cascade is
+tier-major (every clip passes tier t before any clip reaches t+1), so a
+clip removed at tier t' was present in the residual of every tier
+t <= t' — including as a keeper that other clips CHAIN to.  Each store
+therefore holds the clips visible to ITS tier (not removed at any
+earlier tier), not merely end-of-batch survivors:
 
-* ``md5_store``    — (clip_id, h): exact-tier content hashes.  Kept
-  clips have unique content by construction (their duplicates were
-  removed), so the history side of the exact join has fanout <= 1 per
-  new clip and needs no cap.
-* ``marks_store``  — (clip_id, h) landmark hashes (tier 2 candidates).
-* ``clips_store``  — (clip_id, bytes, sr_hz): payloads at rest; only
-  clips named by tier-2 candidate pairs are fetched (count-first isin
-  pushdown under a cap, semi-join above it).
-* ``words_store``  — (clip_id, w) semitone spike-mask words (tier 3).
+* ``md5_store``    — (clip_id, h) exact-tier content hashes of ALL
+  arrived clips (tier 1's residual is the whole corpus); the history
+  probe aggregates to the per-hash group min, so fanout per hash is a
+  group, not 1.
+* ``marks_store``  — (clip_id, h) landmark hashes of clips that
+  survived tier 1 (tier 2's residual).
+* ``clips_store``  — (clip_id, bytes, sr_hz) payloads of tier-2-visible
+  clips; only clips named by tier-2 candidate pairs are fetched
+  (count-first isin pushdown under a cap, semi-join above it).
+* ``words_store``  — (clip_id, w) semitone spike-mask words of clips
+  surviving tiers 1-2 (tier 3's residual).
 * ``feats_store``  — (clip_id, feats, n_frames): tier-3 DTW features
-  (skinny doubles; joined by candidate id, never bulk-read).
+  for the same visibility (skinny doubles; joined by candidate id,
+  never bulk-read).
 * ``prof_store``   — (clip_id, inv_key, profile): tier-4 pitch keys and
-  semitone profiles.
+  semitone profiles of clips surviving tiers 1-3.
 * ``hot_store``    — (tier_name, h, n_at_detection) batch-keyed: join
   keys that crossed their cap, learned online and excluded from both
   sides of every later batch — the no-silent-caps policy.
@@ -32,9 +38,17 @@ later tiers):
   (clip_id, kept_id, tier, tier_name): replay overwrites, idempotent.
 
 ARRIVAL-ORDER CONTRACT: attribution uses the batch cascade's min-id
-keeper rule, so streaming output equals the one-shot cascade when clips
-arrive in nondecreasing id order (the ingest contract; asserted in
-tests/test_streaming_cascade.py).
+keeper rule, and one-shot removal decisions depend only on SMALLER ids
+(a clip is removed iff matched to a smaller remaining id; by induction
+on id, remaining-status of smaller clips never depends on larger ones).
+With the per-tier visibility rule above, the id-ordered stream
+therefore reproduces the one-shot cascade on ANY corpus — including
+cross-tier keeper chains (a tier-3 keeper later removed at tier 4),
+which the earlier survivors-only stores silently diverged on (found by
+the 3000-clip soak, tests/test_streaming_cascade_soak.py; the
+star-corpus equality test never exercised a chain).  Equality is
+contractual when no hot-key cap fires: batch caps count keys over the
+whole corpus, the stream over each arrival prefix.
 
 REPLAY: attribution/hot outputs are batch-id-keyed and overwritten; the
 feature stores are append-mode, so a crash-replayed batch doubles their
@@ -275,7 +289,13 @@ class IncrementalAudioCascade:
             )
             joined = in_batch.join(F.broadcast(hist_hit), "h", "left")
         else:
-            joined = in_batch.withColumn("hid", F.lit(None).cast("long"))
+            # null of the ID'S OWN type: clip ids may be strings (the
+            # bench corpus) or longs (the synth corpora) and the keeper
+            # least()/min() arithmetic must stay type-consistent
+            joined = in_batch.withColumn(
+                "hid",
+                F.lit(None).cast(batch_df.schema["clip_id"].dataType),
+            )
         exact_removed = (
             joined.withColumn(
                 "kept",
@@ -501,29 +521,36 @@ class IncrementalAudioCascade:
         n_candidates = cand2.count() + cand3.count() + cand4.count()
         n_attrib = attrib.count()
 
-        survivors = residual(batch_df).select("clip_id").cache()
-        self._batch_cached.append(survivors)
-
-        def keep(df):
-            return df.join(survivors, "clip_id", "left_semi")
-
-        keep(md5_new).write.mode("append").parquet(self.md5_path)
-        keep(lm_kept.select("clip_id", "h")).write.mode("append").parquet(
+        # ONE-SHOT-FAITHFUL store visibility: the batch cascade is
+        # tier-major (every clip passes tier t before any clip reaches
+        # tier t+1), so a clip removed at tier t' WAS in the residual of
+        # every tier t <= t' — including as a keeper other clips chain
+        # to.  A clip must therefore stay visible in tier t's candidate
+        # store iff it was not removed at a tier BEFORE t, which is
+        # exactly the per-tier residual frame each ingest was computed
+        # on (md5_new: all; lm_kept: rem2; f3_new: rem3; prof_new:
+        # rem4).  Filtering every store to end-of-batch SURVIVORS (the
+        # old rule) silently broke batch==stream equality on corpora
+        # with cross-tier keeper chains — found by the 3000-clip soak
+        # (tests/test_streaming_cascade_soak.py); one-shot removal
+        # decisions depend only on smaller ids, so with this rule the
+        # id-ordered stream reproduces the one-shot cascade on ANY
+        # corpus, star-shaped or not.
+        md5_new.write.mode("append").parquet(self.md5_path)
+        lm_kept.select("clip_id", "h").write.mode("append").parquet(
             self.marks_path
         )
-        keep(
-            f3_new.select(
-                "clip_id", F.explode("words").alias("w")
-            ).distinct()
-        ).write.mode("append").parquet(self.words_path)
-        keep(f3_new.select("clip_id", "feats", "n_frames")).write.mode(
+        f3_new.select(
+            "clip_id", F.explode("words").alias("w")
+        ).distinct().write.mode("append").parquet(self.words_path)
+        f3_new.select("clip_id", "feats", "n_frames").write.mode(
             "append"
         ).parquet(self.feats_path)
-        keep(prof_new.select("clip_id", "inv_key", "profile")).write.mode(
+        prof_new.select("clip_id", "inv_key", "profile").write.mode(
             "append"
         ).parquet(self.prof_path)
-        keep(
-            batch_df.select("clip_id", "bytes", "sr_hz")
+        (
+            rem2.select("clip_id", "bytes", "sr_hz")
         ).sortWithinPartitions("clip_id").write.mode("append").parquet(
             self.clips_path
         )
