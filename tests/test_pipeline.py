@@ -163,3 +163,27 @@ def test_twostar_cc_same_clusters(spark, pipeline_result):
         clusters2 = {r.clip_id: r.cluster_id for r in res.clusters.collect()}
     _, clusters, _ = pipeline_result
     assert clusters2 == clusters
+
+
+def test_prefilter_disabled_margin_zero(spark, pipeline_result):
+    """margin=0 documented as 'disables the filter' (config.py): the
+    pipeline must run end-to-end (the tagging call site still gets its
+    tag column) and produce the SAME verified pairs — the prefilter is
+    sound, so disabling it only removes work, never answers."""
+    import dataclasses
+
+    clips, _ = generate_clips(spark, SPEC)
+    cfg0 = dataclasses.replace(
+        CFG, minhash_prefilter_margin=0.0, run_id="test_run_m0"
+    )
+    with tempfile.TemporaryDirectory() as wh:
+        res = NearDupPipeline(spark, cfg0, wh).run(clips)
+        verified0 = {
+            tuple(sorted((r.id1, r.id2))) for r in res.verified_pairs.collect()
+        }
+        metrics = res.metrics.collect()
+    verified, _, _ = pipeline_result
+    assert verified0 == verified
+    # the disabled filter drops nothing, visibly
+    pf = [m for m in metrics if m.stage == "verify_prefilter"]
+    assert pf and pf[0].dropped == 0

@@ -114,7 +114,7 @@ def test_streaming_cascade_stores_follow_tier_visibility(spark, dirs):
     removed_at = {r.clip_id: r.tier for r in sink.attributions().collect()}
     assert removed_at and max(removed_at.values()) >= 2
     store_tier = {
-        "md5_store": 1, "marks_store": 2, "clips_store": 2,
+        "marks_store": 2, "clips_store": 2,
         "words_store": 3, "feats_store": 3, "prof_store": 4,
     }
     for store, tier in store_tier.items():
@@ -128,6 +128,20 @@ def test_streaming_cascade_stores_follow_tier_visibility(spark, dirs):
                 assert clip not in ids, (store, clip)
             else:
                 assert clip in ids, (store, clip)
+    # md5_store is the per-hash-MIN representation (one row per distinct
+    # content hash): a tier-1-removed clip is represented by its keeper
+    # (same hash, smaller id), so it is ABSENT; every clip removed at a
+    # later tier has its own hash and IS its hash's min, so it is present.
+    md5 = spark.read.parquet(os.path.join(state, "md5_store"))
+    md5_rows = md5.select("clip_id", "h").collect()
+    ids = {r.clip_id for r in md5_rows}
+    hashes = [r.h for r in md5_rows]
+    assert len(hashes) == len(set(hashes)), "md5_store not one-row-per-hash"
+    for clip, t in removed_at.items():
+        if t == 1:
+            assert clip not in ids, ("md5_store", clip)
+        else:
+            assert clip in ids, ("md5_store", clip)
 
 
 def test_streaming_cascade_replay_idempotent(spark, dirs):

@@ -187,6 +187,10 @@ def prefilter_candidates(
     Soundness is asserted by the repeated-gram regression test in
     tests/test_banded_and_agreement.py."""
     if cfg.minhash_prefilter_margin <= 0:
+        # margin=0 disables the filter (config.py) — but a tagging caller
+        # still expects the tag column, so every pair is tagged kept
+        if tag_col is not None:
+            return pairs.withColumn(tag_col, F.lit(True))
         return pairs
     has_ts = {"n_distinct", "n_total"} <= set(signatures.columns)
     cols1 = [F.col(id_col).alias("id1"), F.col("minhash").alias("_sig1")]

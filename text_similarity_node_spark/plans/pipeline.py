@@ -72,6 +72,10 @@ class NearDupPipeline:
         # an id() onto a stale count.
         self._known_counts: dict[int, int] = {}
         self._known_refs: list[DataFrame] = []
+        # intra-stage persists (e.g. the tagged prefilter frame) a build
+        # closure registers here; _stage unpersists them once the stage
+        # output is materialized, instead of leaving them to GC
+        self._stage_scratch: list[DataFrame] = []
 
     # -- ledger helpers ------------------------------------------------------
 
@@ -199,10 +203,16 @@ class NearDupPipeline:
             known = self._known_counts.get(id(rows_in_df))
             return known if known is not None else rows_in_df.count()
 
+        def _drain_scratch() -> None:
+            for df in self._stage_scratch:
+                df.unpersist()
+            self._stage_scratch = []
+
         if not self.cfg.checkpoint_stages:
             out = build().persist()
             n_in = _rows_in()
             n_out = out.count()
+            _drain_scratch()
             self._known_counts[id(out)] = n_out
             self._known_refs.append(out)
             self._log(name, n_in, n_out)
@@ -227,6 +237,7 @@ class NearDupPipeline:
             )
         else:
             out = self.catalog.write(df, name, self.chash)
+        _drain_scratch()
         n_in = _rows_in()
         n_out = out.count()
         self._known_counts[id(out)] = n_out
@@ -270,6 +281,13 @@ class NearDupPipeline:
             for k, v in prior.items():
                 if v is not None:
                     spark.conf.set(k, v)
+                else:
+                    # a pre-run get of None means the conf was unset in
+                    # this session — restore that, don't leak the pin
+                    try:
+                        spark.conf.unset(k)
+                    except Exception:
+                        pass
 
     def _run(self, clips: DataFrame) -> PipelineResult:
         cfg = self.cfg
@@ -414,6 +432,7 @@ class NearDupPipeline:
             tagged = minhash.prefilter_candidates(
                 cand_union, signatures, cfg, tag_col="_keep"
             ).persist()
+            self._stage_scratch.append(tagged)
             n_before, n_after = tagged.agg(
                 F.count(F.lit(1)),
                 F.coalesce(F.sum(F.col("_keep").cast("long")), F.lit(0)),

@@ -15,10 +15,12 @@ t <= t' — including as a keeper that other clips CHAIN to.  Each store
 therefore holds the clips visible to ITS tier (not removed at any
 earlier tier), not merely end-of-batch survivors:
 
-* ``md5_store``    — (clip_id, h) exact-tier content hashes of ALL
-  arrived clips (tier 1's residual is the whole corpus); the history
-  probe aggregates to the per-hash group min, so fanout per hash is a
-  group, not 1.
+* ``md5_store``    — (clip_id, h): ONE row per distinct content hash,
+  carrying the per-hash MIN arrival id.  Equivalent to full tier-1
+  visibility because tier-1 attribution is always to the hash-group
+  min and tier-1-removed clips never reach later tiers' residuals;
+  keeps the broadcast history probe batch-bounded even on
+  exact-dup-heavy streams.
 * ``marks_store``  — (clip_id, h) landmark hashes of clips that
   survived tier 1 (tier 2's residual).
 * ``clips_store``  — (clip_id, bytes, sr_hz) payloads of tier-2-visible
@@ -274,18 +276,22 @@ class IncrementalAudioCascade:
         hist_md5 = self._read(self.md5_path)
         w = Window.partitionBy("h")
         in_batch = md5_new.withColumn("bmin", F.min("clip_id").over(w))
+        hist_hit = None
         if hist_md5 is not None:
             # flat-per-batch-cost contract: the history store STREAMS
             # through an inner probe against the BROADCAST batch (a
             # plain left join here would shuffle the whole history md5
             # store every micro-batch); the hit set is batch-sized, so
-            # the subsequent left join is batch-vs-batch.  One keeper
-            # per content hash by construction; dropDuplicates guards
-            # against store rows doubled by a crash-replayed append.
+            # the subsequent left join is batch-vs-batch.  The store
+            # holds the per-hash MIN id only (see the write site), so
+            # the hit set is <= one row per batch hash even on
+            # exact-dup-heavy streams; dropDuplicates guards against
+            # store rows doubled by a crash-replayed append.
             hist_hit = (
                 hist_md5.select("h", F.col("clip_id").alias("hid"))
                 .join(F.broadcast(md5_new.select("h").distinct()), "h")
                 .dropDuplicates(["h", "hid"])
+                .localCheckpoint()
             )
             joined = in_batch.join(F.broadcast(hist_hit), "h", "left")
         else:
@@ -536,7 +542,23 @@ class IncrementalAudioCascade:
         # decisions depend only on smaller ids, so with this rule the
         # id-ordered stream reproduces the one-shot cascade on ANY
         # corpus, star-shaped or not.
-        md5_new.write.mode("append").parquet(self.md5_path)
+        # md5 store: per-hash MIN id only, and only for hashes not yet in
+        # history.  One-shot-faithful because tier-1 attribution is always
+        # to the per-hash group min (the first arrival, which by id order
+        # is tier-1-surviving), and tier-1-removed clips never reach later
+        # tiers' residuals — so no other tier ever needs the dropped rows.
+        # This keeps the store at one row per distinct content hash and
+        # the broadcast hist_hit probe batch-bounded on exact-dup-heavy
+        # streams.  (hist_hit is localCheckpoint'd above, so the anti-join
+        # here does not re-list the store directory this write appends to.)
+        md5_min = md5_new.groupBy("h").agg(F.min("clip_id").alias("clip_id"))
+        if hist_hit is not None:
+            md5_min = md5_min.join(
+                F.broadcast(hist_hit.select("h").distinct()), "h", "left_anti"
+            )
+        md5_min.select("clip_id", "h").write.mode("append").parquet(
+            self.md5_path
+        )
         lm_kept.select("clip_id", "h").write.mode("append").parquet(
             self.marks_path
         )
