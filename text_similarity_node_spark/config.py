@@ -149,6 +149,10 @@ class PipelineConfig:
     # substring/containment pass
     substring_min_len: int = 32
     substring_enabled: bool = True
+    # fingerprints shared by more than this many docs are dropped (with
+    # metrics, never silently) — boilerplate disposition; see
+    # operators/suffix.containment_candidates
+    fingerprint_cap: int = 64
 
     # connected components
     cc_max_iterations: int = 50

@@ -60,8 +60,18 @@ def candidate_pairs(
     # serializes across cores — measured 3.5x pipeline slowdown at
     # local[32]).  No unpersist leak: the ContextCleaner unpersists the
     # blocks when the plan is GC'd on the driver.
-    bands = bands.persist()
-    rbands = bands if right_bands is None else right_bands.persist()
+    #
+    # ``_bkey`` dictionary-encodes the composite (band_id, band_hash) to a
+    # single long at the source, so everything downstream — the broadcast
+    # hot-key tag, the salted join, its shuffle — moves 8 key bytes per
+    # row instead of 12 and hashes ONE column.  A 64-bit fuse collision
+    # merely merges two band buckets (extra candidates, killed by the
+    # exact verify) — the same failure class, at the same ~2^-64 rate, as
+    # the band_hash already being an xxhash64 of the signature slice.
+    bands = bands.withColumn("_bkey", F.xxhash64(*key)).persist()
+    rbands = bands if right_bands is None else (
+        right_bands.withColumn("_bkey", F.xxhash64(*key)).persist()
+    )
     counts = rbands.groupBy(*key).agg(F.count(F.lit(1)).alias("n_rows"))
     counts = counts.withColumn(
         "disposition",
@@ -74,12 +84,14 @@ def candidate_pairs(
     # full band aggregation (25 x n_docs rows) re-runs per consumer
 
     # the non-cold key set is tiny (one row per distinct hot/dropped key)
+    hot_keys = (
+        counts.filter(F.col("disposition") != "cold")
+        .withColumn("_bkey", F.xxhash64(*key))
+        .select("_bkey", "disposition")
+    )
+
     def _tag(side: DataFrame) -> DataFrame:
-        t = side.join(
-            F.broadcast(counts.filter(F.col("disposition") != "cold")),
-            key,
-            "left",
-        )
+        t = side.join(F.broadcast(hot_keys), "_bkey", "left")
         return t.withColumn(
             "disposition", F.coalesce("disposition", F.lit("cold"))
         ).filter(F.col("disposition") != "dropped")
@@ -99,18 +111,24 @@ def candidate_pairs(
     # the passes over the band table.
     g = cfg.salt_buckets
     gk = F.when(F.col("disposition") == "salted", F.lit(g)).otherwise(F.lit(1))
+    # the salt is folded INTO the fused key (xxhash64 of key + salt
+    # block), so the shuffled probe row is exactly (id, one long) — the
+    # skinniest row the join can carry — and the join condition is a
+    # single-column equi-join the planner hashes once per row
     left = tagged.withColumn(
         "salt", F.pmod(F.xxhash64(F.col(id_col)), gk).cast("int")
-    ).select(id_col, *key, "salt", *carry_cols)
+    ).select(
+        id_col, F.xxhash64("_bkey", "salt").alias("_jkey"), *carry_cols
+    )
     right = tagged_r.withColumn(
         "salt_j", F.explode(F.sequence(F.lit(0), gk - 1))
-    ).select(id_col, *key, "salt_j", *carry_cols)
+    ).select(
+        id_col, F.xxhash64("_bkey", "salt_j").alias("_jkey"), *carry_cols
+    )
     l = left.alias("l")
     r = right.alias("r")
     join_cond = (
-        (F.col("l.band_id") == F.col("r.band_id"))
-        & (F.col("l.band_hash") == F.col("r.band_hash"))
-        & (F.col("l.salt") == F.col("r.salt_j"))
+        (F.col("l._jkey") == F.col("r._jkey"))
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     )
     if right_bands is not None:
@@ -118,9 +136,7 @@ def candidate_pairs(
         # y's expansion AND vice versa); cover both so id1 < id2 still
         # enumerates every pair, then dedupe.
         join_cond = (
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.salt") == F.col("r.salt_j"))
+            (F.col("l._jkey") == F.col("r._jkey"))
             & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
         )
     out_cols = [

@@ -395,6 +395,7 @@ class NearDupPipeline:
                     "clip_id",
                     "transcript",
                     min_len=cfg.substring_min_len,
+                    fingerprint_cap=cfg.fingerprint_cap,
                     return_metrics=True,
                 )
                 dropped_fps, dropped_rows = (
