@@ -126,12 +126,20 @@ def run_pipeline(spark, clips_path: str, shuffle_partitions: int, run_id: str,
 
 
 def streaming_soak_config(shuffle_partitions: int, run_id: str):
-    """The minhash-only comparable of the bench pipeline config: the
-    incremental sink generates candidates from LSH bands alone, so the
-    one-shot reference disables the simhash/containment passes and the
-    exact-dedup canonicalization (the stream verifies byte-identical
-    transcripts through the same LSH path).  Same shingles, signatures,
-    and verify threshold — the pair sets must be EQUAL."""
+    """ALL THREE candidate tiers (minhash LSH + simhash pigeonhole +
+    winnowing containment) on both the incremental sink and the one-shot
+    reference; exact-dedup canonicalization off (the stream verifies
+    byte-identical transcripts through the same LSH path).  The
+    fingerprint cap is effectively off: stream==batch equality is
+    contractual only cap-free (batch caps are corpus-global, stream caps
+    are arrival-prefix — see streaming/incremental.py), so the soak runs
+    in the regime where the contract is exact.  substring_min_len=64
+    puts the corpus in that regime with headroom: measured on the 60k
+    bench corpus, min_len=32 has 9 degenerate fingerprints (up to 6,735
+    docs each — 48M candidate pairs, exactly what the cap exists for)
+    while min_len=64 tops out at 8 docs per fingerprint (2.0M pair upper
+    bound, zero over any cap).  Same shingles, signatures, and verify
+    threshold — the pair sets must be EQUAL."""
     from text_similarity_node_spark.config import PipelineConfig
 
     return PipelineConfig(
@@ -142,8 +150,10 @@ def streaming_soak_config(shuffle_partitions: int, run_id: str):
         per_partition_metrics=False,
         adaptive_enabled=False,
         exact_dedup_first=False,
-        simhash_enabled=False,
-        substring_enabled=False,
+        simhash_enabled=True,
+        substring_enabled=True,
+        substring_min_len=64,
+        fingerprint_cap=10**9,
         run_id=run_id,
     )
 
@@ -151,7 +161,7 @@ def streaming_soak_config(shuffle_partitions: int, run_id: str):
 def run_streaming_soak(spark, clips_path: str, n_batches: int = 6):
     """Soak the incremental dedup sink over the bench corpus sliced into
     id-ordered micro-batches, then assert PAIR-SET EQUALITY against the
-    one-shot minhash-only pipeline on the identical input.
+    one-shot pipeline (all three candidate tiers) on the identical input.
 
     Returns (elapsed_s, per_batch_s, n_pairs).  Raises if the streaming
     union of per-batch outputs differs from the one-shot run — the bench
@@ -282,9 +292,10 @@ def bench_default():
             print(f"[bench] neardup_pipeline pass {p}: {t:.1f}s",
                   file=sys.stderr, flush=True)
         # streaming soak: the same 60k corpus in 6 id-ordered
-        # micro-batches through the incremental sink, equality-gated
-        # against the one-shot minhash-only pipeline (raises on any
-        # pair diff — no time is reported for a wrong answer)
+        # micro-batches through the incremental sink with ALL THREE
+        # candidate tiers on, equality-gated against the one-shot
+        # pipeline at the same config (raises on any pair diff — no
+        # time is reported for a wrong answer)
         soak_s, soak_batches, soak_pairs = run_streaming_soak(
             spark, clips_path, n_batches=6
         )

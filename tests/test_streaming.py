@@ -254,3 +254,153 @@ def test_label_delta_replay_idempotent(spark, dirs):
     labels_replayed = {(r.clip_id, r.cluster_id)
                        for r in dedup.cluster_labels().collect()}
     assert labels_first == labels_replayed == {("c1", "c1"), ("c2", "c1")}
+
+
+def test_all_tiers_parity_with_batch_pipeline(spark, dirs):
+    """Stream == one-shot with simhash AND containment tiers enabled
+    (cap-free): the union of per-batch verified pairs over an id-ordered
+    stream equals the batch pipeline's verified set on the same corpus.
+    The corpus plants LSH-shaped near-dups, simhash-shaped pairs, a
+    long-substring containment pair, and exact dups, split across three
+    batches so every tier exercises both its new-vs-new and its
+    new-vs-history join."""
+    import dataclasses
+    import random
+    import tempfile
+
+    from text_similarity_node_spark.plans.pipeline import NearDupPipeline
+
+    cfg = PipelineConfig(
+        verify_threshold=0.8,
+        exact_dedup_first=False,
+        simhash_enabled=True,
+        substring_enabled=True,
+        fingerprint_cap=10**9,
+        run_id="stream_tiers",
+    )
+    vocab = [f"tok{v}" for v in range(500)]
+    rng = random.Random(7)
+    rows = []
+    # planted near-dup clusters (word-level edits on a 40-token base)
+    for c in range(12):
+        base = [rng.choice(vocab) for _ in range(40)]
+        for m in range(3):
+            words = list(base)
+            for _ in range(m):  # 0/1/2 token replacements
+                words[rng.randrange(40)] = rng.choice(vocab)
+            rows.append((f"c{c:03d}_{m}", " ".join(words)))
+    # exact dups (must verify through the LSH path at J=1)
+    rows.append(("e000_a", rows[0][1]))
+    # containment: one transcript embedded verbatim inside a longer one
+    embedded = " ".join(rng.choice(vocab) for _ in range(30))
+    rows.append(("s000_short", embedded))
+    rows.append((
+        "s001_long",
+        " ".join(rng.choice(vocab) for _ in range(25))
+        + " " + embedded + " "
+        + " ".join(rng.choice(vocab) for _ in range(25)),
+    ))
+    # background noise
+    for i in range(40):
+        rows.append(
+            (f"n{i:03d}", " ".join(rng.choice(vocab) for _ in range(35)))
+        )
+    rows.sort()  # id-ordered arrival, matching the streaming contract
+
+    src, state, ckpt = dirs
+    sink = IncrementalDedup(spark, cfg, state)
+    thirds = [rows[: len(rows) // 3], rows[len(rows) // 3 : 2 * len(rows) // 3],
+              rows[2 * len(rows) // 3 :]]
+    for b, chunk in enumerate(thirds):
+        df = spark.createDataFrame(chunk, SCHEMA)
+        sink.process_batch(df, b)
+    stream_pairs = {
+        (r.id1, r.id2)
+        for r in sink.verified_pairs().select("id1", "id2").collect()
+    }
+
+    with tempfile.TemporaryDirectory() as wh:
+        ref_cfg = dataclasses.replace(cfg, run_id="stream_tiers_ref")
+        res = NearDupPipeline(
+            spark, ref_cfg, wh
+        ).run(spark.createDataFrame(rows, SCHEMA))
+        batch_pairs = {
+            (r.id1, r.id2)
+            for r in res.verified_pairs.select("id1", "id2").collect()
+        }
+    assert stream_pairs == batch_pairs, (
+        f"missing={sorted(batch_pairs - stream_pairs)[:5]} "
+        f"extra={sorted(stream_pairs - batch_pairs)[:5]}"
+    )
+    assert len(stream_pairs) >= 12  # the planted clusters actually verified
+
+
+def test_fp_cap_mid_stream_is_observable(spark, dirs):
+    """A containment fingerprint crossing cfg.fingerprint_cap mid-stream
+    is (a) recorded in hot_fps_store with its count at detection, (b)
+    excluded from every later batch's join, and (c) never silently grows
+    the fps store."""
+    import glob
+
+    src, state, ckpt = dirs
+    cfg = PipelineConfig(
+        verify_threshold=0.99,  # boilerplate-only pairs must NOT verify
+        exact_dedup_first=False,
+        simhash_enabled=False,
+        substring_enabled=True,
+        substring_min_len=16,
+        fingerprint_cap=6,
+        run_id="stream_capfire",
+    )
+    sink = IncrementalDedup(spark, cfg, state)
+    boiler = "this exact boilerplate sentence appears in every single doc"
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{v}" for v in range(300)]
+
+    def doc(i):
+        filler = " ".join(rng.choice(vocab) for _ in range(30))
+        return (f"d{i:03d}", filler + " " + boiler)
+
+    # batch 0: 5 boilerplate docs — under the cap, fingerprints stored
+    sink.process_batch(
+        spark.createDataFrame([doc(i) for i in range(5)], SCHEMA), 0
+    )
+    hot0 = spark.read.option("recursiveFileLookup", "true").parquet(
+        sink.hot_fps_path
+    )
+    assert hot0.count() == 0
+    # batch 1: 5 more — prefix count 10 > cap 6: the shared fingerprints
+    # must cross the cap NOW, with count-at-detection recorded
+    sink.process_batch(
+        spark.createDataFrame([doc(i) for i in range(5, 10)], SCHEMA), 1
+    )
+    hot1 = spark.read.option("recursiveFileLookup", "true").parquet(
+        sink.hot_fps_path
+    )
+    hot_rows = hot1.collect()
+    assert hot_rows, "cap crossing left no hot_fps_store rows"
+    assert all(r.n_docs > cfg.fingerprint_cap for r in hot_rows)
+    assert {r.batch_id for r in hot_rows} == {1}
+    n_fp_files_after_b1 = len(
+        glob.glob(os.path.join(sink.fps_path, "**", "*.parquet"),
+                  recursive=True)
+    )
+    fp_store_rows_b1 = spark.read.parquet(sink.fps_path)
+    hot_set = {r.fp for r in hot_rows}
+    # batch 2: more boilerplate docs — known-hot fingerprints are
+    # excluded up front: none of them may be appended to the fps store
+    sink.process_batch(
+        spark.createDataFrame([doc(i) for i in range(10, 15)], SCHEMA), 2
+    )
+    fp_store_rows_b2 = spark.read.parquet(sink.fps_path)
+    added = (
+        fp_store_rows_b2.join(
+            fp_store_rows_b1, ["clip_id", "fp"], "left_anti"
+        ).collect()
+    )
+    assert added, "batch-2 docs contributed no non-hot fingerprints"
+    assert not any(r.fp in hot_set for r in added), (
+        "known-hot fingerprint re-entered the store"
+    )

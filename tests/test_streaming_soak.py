@@ -1,7 +1,8 @@
 """Streaming soak: the bench corpus generator sliced into id-ordered
 micro-batches through IncrementalDedup must reproduce EXACTLY the
-one-shot minhash-only pipeline's verified pair set (bench.py runs the
-same gate at 60k clips; this is the suite-sized version)."""
+one-shot pipeline's verified pair set with ALL THREE candidate tiers on
+(bench.py runs the same gate at 60k clips; this is the suite-sized
+version)."""
 
 from __future__ import annotations
 
@@ -57,12 +58,18 @@ def test_soak_gate_detects_divergence(spark, clips_path):
         IncrementalDedup.process_batch = real
 
 
-def test_minhash_only_config_has_single_source(spark, clips_path):
-    """The comparable really is single-source: every verified pair from
-    the soak reference config is attributed to minhash_lsh alone."""
+def test_soak_config_runs_all_tiers(spark, clips_path):
+    """The soak comparable exercises all three candidate tiers: the
+    config enables them, and the one-shot reference's source attribution
+    contains only known tier names (with minhash_lsh present — the
+    corpus's planted near-dups ride the LSH path)."""
+    cfg = streaming_soak_config(8, "cfgcheck")
+    assert cfg.simhash_enabled and cfg.substring_enabled
+    assert cfg.fingerprint_cap >= 10**9  # cap-free: the equality regime
     wh = tempfile.mkdtemp()
-    res = NearDupPipeline(
-        spark, streaming_soak_config(8, "cfgcheck"), wh
-    ).run(spark.read.parquet(clips_path))
-    srcs = {r.sources for r in res.verified_pairs.select("sources").collect()}
-    assert srcs <= {"minhash_lsh"}
+    res = NearDupPipeline(spark, cfg, wh).run(spark.read.parquet(clips_path))
+    srcs = set()
+    for r in res.verified_pairs.select("sources").collect():
+        srcs |= set(r.sources.split(","))
+    assert "minhash_lsh" in srcs
+    assert srcs <= {"minhash_lsh", "simhash", "containment"}

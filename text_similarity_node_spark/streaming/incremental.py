@@ -5,12 +5,22 @@ its src/), so streaming here is *engine capability*, not parity: new clips
 arrive as files in a directory (stand-in for Kafka at scale), and each
 micro-batch is deduplicated against everything seen so far:
 
-    new batch ─► signatures ─► bands ─┐
-                                      ├─ band join ─► candidates ─► verify
-    band store (all history) ─────────┘                   │
-    docs store (gram arrays) ─────────────────────────────┘
+    new batch ─► signatures ─► bands ──┐
+            └─► simhash ─► blocks ─────┼─ history joins ─► candidates ─► verify
+            └─► winnow  ─► fingerprints┘                       │
+    band/sims/fps stores (history) ────┘                       │
+    docs store (gram arrays) ──────────────────────────────────┘
 
-State lives in the checkpoint warehouse as two append-only parquet stores —
+All three batch-pipeline candidate tiers (minhash LSH bands, simhash
+pigeonhole blocks, winnowing containment fingerprints) run incrementally:
+each history store streams through a broadcast-hash probe against the new
+batch, so per-batch cost stays O(batch + candidates).  Cap-free, the
+union of per-batch verified pairs EQUALS the one-shot pipeline's
+(bench.py soak); the containment fingerprint cap counts over the arrival
+prefix rather than the full corpus, and every firing is durable in
+hot_fps_store — divergence from batch is observable, never silent.
+
+State lives in the checkpoint warehouse as append-only parquet stores —
 the streaming analogue of the batch pipeline's checkpoint tables, giving
 exactly-once semantics through foreachBatch + idempotent batch-id dirs.
 
@@ -73,6 +83,11 @@ class IncrementalDedup:
         self.docs_path = os.path.join(state_dir, "docs_store")
         self.pairs_path = os.path.join(state_dir, "verified_pairs")
         self.labels_path = os.path.join(state_dir, "cluster_labels")
+        # simhash + containment tier state (only written when the
+        # corresponding cfg flag is on)
+        self.sims_path = os.path.join(state_dir, "sims_store")
+        self.fps_path = os.path.join(state_dir, "fps_store")
+        self.hot_fps_path = os.path.join(state_dir, "hot_fps_store")
 
     def _store_exists(self, path: str) -> bool:
         return os.path.exists(path) and any(
@@ -125,6 +140,192 @@ class IncrementalDedup:
             cand = nn.unionByName(nh)
         else:
             cand = nn
+        tiers = [cand]
+
+        # ---- simhash tier (batch parity: operators/simhash.py) ----------
+        # Exact pigeonhole block keys of (new batch + full history) are
+        # probed against the BROADCAST expanded keys of the new batch
+        # only, so history streams through a broadcast-hash join exactly
+        # like the band store.  Pair coverage equals the batch tier's:
+        # new-vs-new pairs meet through both orders of the exact-vs-
+        # expanded join; a history clip h meets a new clip n iff some
+        # block of h is within 1 flipped bit of n's same block — the
+        # identical HmSearch predicate, applied when the LATER clip
+        # arrives.  The tier is cap-free (the batch tier's salted/capped
+        # band disposition is corpus-global and has no arrival-prefix
+        # analogue), so stream==batch equality is contractual exactly
+        # when no batch-side band cap fires — same contract as the
+        # cascade's hot-key caps.
+        new_sims = None
+        if cfg.simhash_enabled:
+            from ..operators import simhash as sh
+
+            radius = cfg.hamming_radius
+            new_sims = sh.with_simhash(docs, "tokens").select(
+                "clip_id", "simhash"
+            ).cache()
+
+            def _exact_blocks(df: DataFrame) -> DataFrame:
+                return df.select(
+                    "clip_id",
+                    "simhash",
+                    F.explode(
+                        sh.hamming_blocks(F.col("simhash"), radius)
+                    ).alias("blk"),
+                ).select(
+                    "clip_id", "simhash",
+                    F.col("blk.block_id").alias("block_id"),
+                    F.col("blk.block_value").alias("block_value"),
+                )
+
+            exp_new = new_sims.select(
+                "clip_id",
+                "simhash",
+                F.explode(
+                    sh.hamming_blocks_expanded(F.col("simhash"), radius)
+                ).alias("blk"),
+            ).select(
+                "clip_id", "simhash",
+                F.col("blk.block_id").alias("block_id"),
+                F.col("blk.block_value").alias("block_value"),
+            )
+            exact_all = _exact_blocks(new_sims)
+            if self._store_exists(self.sims_path):
+                exact_all = exact_all.unionByName(
+                    _exact_blocks(self.spark.read.parquet(self.sims_path))
+                )
+            sim_cand = (
+                exact_all.alias("e")
+                .join(
+                    F.broadcast(exp_new.alias("x")),
+                    (F.col("e.block_id") == F.col("x.block_id"))
+                    & (F.col("e.block_value") == F.col("x.block_value"))
+                    & (F.col("e.clip_id") != F.col("x.clip_id")),
+                )
+                .withColumn(
+                    "hamming",
+                    F.bit_count(
+                        F.col("e.simhash").bitwiseXOR(F.col("x.simhash"))
+                    ),
+                )
+                .filter(F.col("hamming") <= radius)
+                .select(
+                    F.least(
+                        F.col("e.clip_id"), F.col("x.clip_id")
+                    ).alias("id1"),
+                    F.greatest(
+                        F.col("e.clip_id"), F.col("x.clip_id")
+                    ).alias("id2"),
+                )
+            )
+            tiers.append(sim_cand)
+
+        # ---- containment tier (batch parity: operators/suffix.py) -------
+        # Same winnowing fingerprints, same equi-join; history fingerprints
+        # stream against the broadcast new-batch fingerprint set.  The
+        # boilerplate cap (cfg.fingerprint_cap) counts each fingerprint
+        # over the ARRIVAL PREFIX (new batch + history), not the full
+        # corpus the batch pass sees: a fingerprint crossing the cap at
+        # batch k is recorded in hot_fps_store with its count at
+        # detection (never silent) and is excluded from every later
+        # batch's join — but pairs it generated in earlier batches stay
+        # emitted.  Cap-free runs are therefore exactly batch-equal; runs
+        # where the cap fires diverge observably through hot_fps_store
+        # (tests/test_streaming.py::test_fp_cap_mid_stream_is_observable).
+        new_fps = None
+        fps_use = None
+        newly_hot = None
+        if cfg.substring_enabled:
+            from ..operators.suffix import fingerprint_udf
+
+            # window=16 mirrors containment_candidates' default — the
+            # winnowing guarantee is shared substrings >= min_len + 15
+            new_fps = docs.select(
+                "clip_id",
+                F.explode(
+                    fingerprint_udf(cfg.substring_min_len, 16)(
+                        F.col("transcript")
+                    )
+                ).alias("fp"),
+            ).distinct().cache()
+            fps_new = new_fps
+            if self._store_exists(self.hot_fps_path):
+                known_hot = self.spark.read.option(
+                    "recursiveFileLookup", "true"
+                ).parquet(self.hot_fps_path).select("fp").distinct()
+                fps_new = fps_new.join(
+                    F.broadcast(known_hot), "fp", "left_anti"
+                )
+            # prefix count per fingerprint: this batch's docs + history
+            # docs (store holds every non-hot fingerprint row so far)
+            n_new = fps_new.groupBy("fp").agg(
+                F.count(F.lit(1)).alias("n_new")
+            )
+            hist_fps_hit = None
+            if self._store_exists(self.fps_path):
+                # localCheckpoint (not cache): severs lineage from the
+                # store directory this batch later APPENDS to, so the
+                # post-write metrics count can never re-list the store
+                # and see this batch's own rows as history
+                hist_fps_hit = (
+                    self.spark.read.parquet(self.fps_path)
+                    .join(
+                        F.broadcast(fps_new.select("fp").distinct()), "fp"
+                    )
+                    .dropDuplicates(["fp", "clip_id"])
+                    .localCheckpoint()
+                )
+                n_hist = hist_fps_hit.groupBy("fp").agg(
+                    F.count(F.lit(1)).alias("n_hist")
+                )
+                counts = n_new.join(n_hist, "fp", "left").select(
+                    "fp",
+                    (
+                        F.col("n_new")
+                        + F.coalesce(F.col("n_hist"), F.lit(0))
+                    ).alias("n_docs"),
+                )
+            else:
+                counts = n_new.select(
+                    "fp", F.col("n_new").alias("n_docs")
+                )
+            newly_hot = counts.filter(
+                F.col("n_docs") > cfg.fingerprint_cap
+            ).localCheckpoint()
+            fps_use = fps_new.join(
+                F.broadcast(newly_hot.select("fp")), "fp", "left_anti"
+            ).cache()
+            a, b = fps_use.alias("a"), fps_use.alias("b")
+            cont_nn = a.join(
+                F.broadcast(b),
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.clip_id") < F.col("b.clip_id")),
+            ).select(
+                F.col("a.clip_id").alias("id1"),
+                F.col("b.clip_id").alias("id2"),
+            )
+            tiers.append(cont_nn)
+            if hist_fps_hit is not None:
+                hist_use = hist_fps_hit.join(
+                    F.broadcast(newly_hot.select("fp")), "fp", "left_anti"
+                )
+                cont_nh = hist_use.alias("h").join(
+                    F.broadcast(fps_use.alias("n")),
+                    (F.col("h.fp") == F.col("n.fp"))
+                    & (F.col("h.clip_id") != F.col("n.clip_id")),
+                ).select(
+                    F.least(
+                        F.col("h.clip_id"), F.col("n.clip_id")
+                    ).alias("id1"),
+                    F.greatest(
+                        F.col("h.clip_id"), F.col("n.clip_id")
+                    ).alias("id2"),
+                )
+                tiers.append(cont_nh)
+
+        cand = tiers[0]
+        for t in tiers[1:]:
+            cand = cand.unionByName(t)
         cand = cand.dropDuplicates(["id1", "id2"]).cache()
 
         # gram arrays for exactly the docs the candidates touch: new-batch
@@ -186,6 +387,22 @@ class IncrementalDedup:
         new_docs.sortWithinPartitions("clip_id").write.mode("append").parquet(
             self.docs_path
         )
+        if new_sims is not None:
+            new_sims.write.mode("append").parquet(self.sims_path)
+        if fps_use is not None:
+            # only non-hot fingerprints enter the store: hot membership is
+            # durable in hot_fps_store, so the store stays O(docs x
+            # fingerprints-per-doc) even on boilerplate-heavy streams
+            fps_use.sortWithinPartitions("fp").write.mode("append").parquet(
+                self.fps_path
+            )
+            # batch-keyed, overwritten on replay — idempotent, and the
+            # count-at-detection makes every cap firing observable
+            newly_hot.withColumn(
+                "batch_id", F.lit(int(batch_id))
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.hot_fps_path, f"batch_id={int(batch_id)}")
+            )
         # per-batch metrics row (batch-id-keyed file: replay overwrites);
         # counts come from cached frames / the just-written tiny pair dir
         append_batch_metrics(
@@ -201,6 +418,9 @@ class IncrementalDedup:
         new_docs.unpersist()
         cand.unpersist()
         cand_ids_df.unpersist()
+        for df in (new_sims, new_fps, fps_use):
+            if df is not None:
+                df.unpersist()
 
     def compact_stores(self, target_files_per_partition: int = 1) -> None:
         """Rewrite the band and doc stores to bounded file counts: each
