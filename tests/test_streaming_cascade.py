@@ -203,3 +203,70 @@ def test_landmark_min_matches_rule(spark, dirs):
     )
     got = {(r.id1, r.id2) for r in cand.collect()}
     assert got == {(1, 3), (0, 1)}  # (1,2) single-hash pair filtered
+
+
+def test_landmark_cap_fires_mid_stream_observably(spark, dirs):
+    """A landmark hash crossing hash_cap at batch k is (a) recorded in
+    hot_store under that batch with its count at detection, (b) excluded
+    from the landmark store and every later batch's tier-2 join, and (c)
+    the affected clips still dedup at a LATER tier — the divergence from
+    the cap-free one-shot cascade (which would catch them at tier 2) is
+    fully attributable from durable state, never silent."""
+    src, state, ckpt = dirs
+    # class-0 gain copies: same chord + envelope (=> identical landmark
+    # hashes), each with unique seeded noise (=> byte-distinct, so tier 1
+    # cannot collapse them).  src values 4,20,...,100 all map to the gain
+    # transform ((src//4) % 4 == 1) and class 0 (n_classes=4).
+    synth = synth_cascade_pcm_udf(n_classes=4)
+
+    def clips(ids):
+        return (
+            spark.range(1)
+            .select(F.explode(F.array(*[F.lit(i) for i in ids])).alias("clip_id"))
+            .withColumn("bytes", synth(F.col("clip_id")))
+            .withColumn("sr_hz", F.lit(SR))
+        )
+
+    sink = IncrementalAudioCascade(spark, state, hash_cap=3)
+    # batch 0: the class-0 source + three other-class clips; no cap fires
+    sink.process_batch(clips([0, 1, 2, 3]), 0)
+    hot0 = sink.hot_keys().filter(F.col("tier_name") == "landmark")
+    assert hot0.count() == 0
+    # batch 1: six gain copies of class 0 — every shared landmark hash
+    # appears 6 > cap 3 times and must cross the cap NOW
+    gain_ids = [1_000_004, 1_000_020, 1_000_036, 1_000_052, 1_000_068,
+                1_000_084]
+    sink.process_batch(clips(gain_ids), 1)
+    hot1 = sink.hot_keys().filter(F.col("tier_name") == "landmark").collect()
+    assert hot1, "cap crossing left no landmark hot_store rows"
+    assert all(r.n_at_detection > 3 for r in hot1)
+    hot_hashes = {r.h for r in hot1}
+    # hot hashes never entered the landmark store from the capped batch:
+    # any store row with a hot hash is the batch-0 source's
+    marks = spark.read.parquet(os.path.join(state, "marks_store"))
+    offenders = marks.filter(
+        F.col("h").isin(*hot_hashes) & (F.col("clip_id") >= 1_000_000)
+    )
+    assert offenders.count() == 0
+    # the gain clips still dedup'd — at a later tier than the cap-free
+    # one-shot cascade's tier 2, with the same keeper (the class source)
+    att = {r.clip_id: (r.tier, r.kept_id) for r in sink.attributions().collect()}
+    for g in gain_ids:
+        assert g in att, f"clip {g} silently lost"
+        tier, keeper = att[g]
+        assert tier >= 3, (g, tier)
+        assert keeper == 0, (g, keeper)
+    # batch 2: one more class-0 gain copy — known-hot exclusion keeps its
+    # landmark rows out of the store and it still dedups downstream
+    sink.process_batch(clips([1_000_100]), 2)
+    marks2 = spark.read.parquet(os.path.join(state, "marks_store"))
+    assert marks2.filter(
+        F.col("h").isin(*hot_hashes) & (F.col("clip_id") == 1_000_100)
+    ).count() == 0
+    att2 = {r.clip_id: (r.tier, r.kept_id)
+            for r in sink.attributions().collect()}
+    assert att2[1_000_100][0] >= 3 and att2[1_000_100][1] == 0
+    # ledger rows exist for every batch (per-batch metrics, replay-keyed)
+    from text_similarity_node_spark.streaming.ledger import read_batch_metrics
+    m = read_batch_metrics(spark, state)
+    assert {r.batch_id for r in m.collect()} == {0, 1, 2}
