@@ -204,10 +204,15 @@ def run_streaming_soak(spark, clips_path: str, n_batches: int = 6):
             ).drop("_ord")
             sink.process_batch(batch, b)
             per_batch.append(round(time.time() - bt, 2))
-        stream_pairs = {
-            (r.id1, r.id2)
-            for r in sink.verified_pairs().select("id1", "id2").collect()
-        }
+        # localCheckpoint: materializes the (small) pair set executor-side
+        # before the state dir is deleted, and keeps the equality check a
+        # distributed anti-join count — nothing corpus-sized ever reaches
+        # the driver, so the gate holds its shape at any sf
+        stream_pairs = (
+            sink.verified_pairs().select("id1", "id2").distinct()
+            .localCheckpoint()
+        )
+        n_stream = stream_pairs.count()
         elapsed = time.time() - t0
     finally:
         shutil.rmtree(state, ignore_errors=True)
@@ -217,20 +222,21 @@ def run_streaming_soak(spark, clips_path: str, n_batches: int = 6):
         res = NearDupPipeline(
             spark, streaming_soak_config(2 * CPUS, "soak_ref"), wh
         ).run(spark.read.parquet(clips_path))
-        batch_pairs = {
-            (r.id1, r.id2)
-            for r in res.verified_pairs.select("id1", "id2").collect()
-        }
+        batch_pairs = (
+            res.verified_pairs.select("id1", "id2").distinct()
+            .localCheckpoint()
+        )
+        n_batch = batch_pairs.count()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
-    if stream_pairs != batch_pairs:
-        missing = len(batch_pairs - stream_pairs)
-        extra = len(stream_pairs - batch_pairs)
+    missing = batch_pairs.join(stream_pairs, ["id1", "id2"], "left_anti").count()
+    extra = stream_pairs.join(batch_pairs, ["id1", "id2"], "left_anti").count()
+    if missing or extra:
         raise AssertionError(
             f"streaming soak diverged from one-shot pipeline: "
-            f"{missing} missing, {extra} extra of {len(batch_pairs)} pairs"
+            f"{missing} missing, {extra} extra of {n_batch} pairs"
         )
-    return elapsed, per_batch, len(stream_pairs)
+    return elapsed, per_batch, n_stream
 
 
 def bench_default():
