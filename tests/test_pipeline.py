@@ -187,3 +187,86 @@ def test_prefilter_disabled_margin_zero(spark, pipeline_result):
     # the disabled filter drops nothing, visibly
     pf = [m for m in metrics if m.stage == "verify_prefilter"]
     assert pf and pf[0].dropped == 0
+
+
+def test_containment_tier_rescues_lsh_misses(spark):
+    """Tier complementarity, end-to-end: with a deliberately lossy band
+    plan (b=5, r=24 — S-curve candidate recall ~0.75 at set-J~0.93, the
+    cheap-join/lossy-recall corner of the b*r trade), minhash-only MUST
+    miss some true pairs, and the containment tier (winnowed
+    fingerprints over the pairs' long shared tails) must restore them —
+    batch and stream alike.  This pins WHY the pipeline unions three
+    candidate generators: the verify threshold alone cannot recover a
+    pair no generator surfaced."""
+    import dataclasses
+    import random
+
+    from text_similarity_node_spark.streaming.incremental import (
+        IncrementalDedup,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"{a}{b}{c}" for a in "bcdfgh" for b in "aeiou" for c in "klmnpr"]
+    rows = []
+    truth = set()
+    for p in range(30):
+        base = [rng.choice(vocab) for _ in range(60)]
+        # mutate 4 of the first 20 words: trigram multiset J ~0.85-0.93,
+        # set-J ~0.93 (what the bands see), and the untouched >=280-char
+        # tail guarantees shared winnowing fingerprints (>= min_len +
+        # window - 1 = 47-char exact overlap)
+        head = list(base[:20])
+        for i in rng.sample(range(20), 4):
+            head[i] = rng.choice(vocab)
+        a_id, b_id = f"p{p:03d}_a", f"p{p:03d}_b"
+        rows.append((a_id, " ".join(base)))
+        rows.append((b_id, " ".join(head + base[20:])))
+        truth.add((a_id, b_id))
+    for i in range(30):  # background noise
+        rows.append((f"n{i:03d}", " ".join(rng.choice(vocab) for _ in range(55))))
+    rows.sort()
+    clips = spark.createDataFrame(rows, "clip_id string, transcript string")
+
+    lossy = PipelineConfig(
+        minhash_k=120, lsh_bands=5, lsh_rows=24,
+        verify_threshold=0.8, exact_dedup_first=False,
+        simhash_enabled=False, substring_enabled=False,
+        fingerprint_cap=10**9, run_id="lossy_mh",
+    )
+    with tempfile.TemporaryDirectory() as wh:
+        mh_only = {
+            tuple(sorted((r.id1, r.id2)))
+            for r in NearDupPipeline(spark, lossy, wh).run(clips)
+            .verified_pairs.collect()
+        }
+    rescued_cfg = dataclasses.replace(
+        lossy, substring_enabled=True, run_id="lossy_rescued"
+    )
+    with tempfile.TemporaryDirectory() as wh:
+        with_cont = {
+            tuple(sorted((r.id1, r.id2)))
+            for r in NearDupPipeline(spark, rescued_cfg, wh).run(clips)
+            .verified_pairs.collect()
+        }
+    missed = truth - mh_only
+    assert missed, (
+        "lossy banding missed nothing — the complementarity scenario "
+        "did not materialize (seed drift?)"
+    )
+    assert truth <= with_cont, sorted(truth - with_cont)[:3]
+    assert missed <= with_cont
+
+    # the stream reproduces the rescue through its fps history store:
+    # split so every pair's _b doc arrives a batch after its _a doc
+    with tempfile.TemporaryDirectory() as state:
+        sink = IncrementalDedup(spark, rescued_cfg, state)
+        thirds = [rows[:40], rows[40:80], rows[80:]]
+        for b, chunk in enumerate(thirds):
+            sink.process_batch(
+                spark.createDataFrame(chunk, "clip_id string, transcript string"), b
+            )
+        stream_pairs = {
+            tuple(sorted((r.id1, r.id2)))
+            for r in sink.verified_pairs().select("id1", "id2").collect()
+        }
+    assert stream_pairs == with_cont
