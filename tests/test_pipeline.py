@@ -256,6 +256,24 @@ def test_containment_tier_rescues_lsh_misses(spark):
     assert truth <= with_cont, sorted(truth - with_cont)[:3]
     assert missed <= with_cont
 
+    # the SIMHASH tier independently rescues the same misses when its
+    # radius is sized to the perturbation: cosine ~0.96 between the
+    # planted frequency vectors puts E[hamming] ~6 bits on the 64-bit
+    # sketch, so the default radius 3 is too tight for THESE pairs
+    # (that's what containment is for) but radius 12 (standard
+    # pigeonhole, 13 blocks) covers the distribution's tail
+    simhash_cfg = dataclasses.replace(
+        lossy, simhash_enabled=True, hamming_radius=12,
+        run_id="lossy_simhash"
+    )
+    with tempfile.TemporaryDirectory() as wh:
+        with_sim = {
+            tuple(sorted((r.id1, r.id2)))
+            for r in NearDupPipeline(spark, simhash_cfg, wh).run(clips)
+            .verified_pairs.collect()
+        }
+    assert truth <= with_sim, sorted(truth - with_sim)[:3]
+
     # the stream reproduces the rescue through its fps history store:
     # split so every pair's _b doc arrives a batch after its _a doc
     with tempfile.TemporaryDirectory() as state:
