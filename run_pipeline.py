@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     p.add_argument("--minhash-k", type=int, default=128)
     p.add_argument("--bands", type=int, default=32)
     p.add_argument("--rows", type=int, default=4)
+    p.add_argument("--fingerprint-cap", type=int, default=64,
+                   help="containment-tier boilerplate cap (docs per "
+                        "winnowed fingerprint; drops are metered)")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -57,6 +60,7 @@ def main(argv=None) -> int:
         minhash_k=args.minhash_k,
         lsh_bands=args.bands,
         lsh_rows=args.rows,
+        fingerprint_cap=args.fingerprint_cap,
         verify_threshold=args.threshold,
         run_id=args.run_id,
     )
